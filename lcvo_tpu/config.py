@@ -1,0 +1,200 @@
+"""Typed configuration tree for the VO framework.
+
+The reference keeps its knobs in a flat ``config.yaml`` loaded into a module global at
+import time (reference ``src/vo_pipeline.py:11-17``) with many de-facto config values
+hard-coded inline (reprojection threshold 2 px at ``src/vo_pipeline.py:238``, Lowe ratio
+0.8 at ``:113``, essential-RANSAC (0.999, 1.0 px) at ``:156``, detector params at
+``:86-87,382``, re-bootstrap skip=4 at ``:288``). Here every one of those becomes a named
+field with the reference value as default, in one explicit, injected dataclass tree —
+no ambient module globals.
+
+All capacity fields (``max_tracks`` etc.) are *static* shapes: the per-frame step is
+traced once per capacity configuration and streams frames without recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """Corner/blob detection. Reference: ``cv2.goodFeaturesToTrack`` params at
+    ``src/vo_pipeline.py:86-87,382`` and SIFT usage at ``:95-104,417-444``."""
+
+    method: str = "shi"            # 'shi' | 'harris' | 'sift'
+    max_corners: int = 600         # reference :86 (init) / 500 (:382, per-frame)
+    quality_level: float = 0.03    # reference :86-87
+    min_distance: int = 10         # reference :86-87 (NMS radius, px)
+    # Grid-cell NMS (static-shape replacement for OpenCV's sorted greedy NMS):
+    grid_cells_x: int = 32
+    grid_cells_y: int = 12
+    cells_topk: int = 4            # keypoints kept per cell
+    harris_k: float = 0.04
+    window: int = 3                # structure-tensor box window radius
+    # SIFT-class detector:
+    sift_octaves: int = 3
+    sift_scales_per_octave: int = 3
+    sift_contrast_thresh: float = 0.04
+    sift_edge_thresh: float = 10.0
+
+
+@dataclass(frozen=True)
+class DescriptorConfig:
+    """Descriptor extraction + matching. Reference: SIFT 128-d + BF knn with Lowe ratio
+    0.8 (``src/vo_pipeline.py:102-114,443-450``)."""
+
+    method: str = "sift"           # 'sift' | 'patch'
+    ratio_thresh: float = 0.8      # Lowe ratio, reference :113,:450
+    patch_size: int = 16
+    max_keypoints: int = 1024      # static descriptor-table capacity
+
+
+@dataclass(frozen=True)
+class KLTConfig:
+    """Pyramidal Lucas-Kanade tracking. Reference: ``cv2.calcOpticalFlowPyrLK`` with
+    default params — 21x21 window, 3 levels, 30 iters / 0.01 eps
+    (``src/vo_pipeline.py:215,501``)."""
+
+    window: int = 21               # odd; patch is window x window
+    levels: int = 3                # pyramid levels (level 0 = full res)
+    iters: int = 10                # fixed iteration count (no data-dependent exit)
+    eps: float = 0.01              # convergence epsilon (used for masking only)
+    max_residual: float = 12.0     # mean |I_t - I_{t+1}| over patch to keep a track
+    max_displacement: float = 60.0 # tracks moving further than this are dropped
+    border: int = 12               # tracks within this many px of border are dropped
+
+
+@dataclass(frozen=True)
+class RansacConfig:
+    """Hypothesis-scoring RANSAC, fixed hypothesis counts (XLA-static).
+
+    Reference: essential matrix 5-pt RANSAC prob 0.999 / thresh 1.0 px
+    (``src/vo_pipeline.py:156``); PnP-RANSAC reproj thresh 2 px, confidence 0.99999
+    (``:238-243``)."""
+
+    e_hypotheses: int = 512        # essential-matrix hypothesis count
+    e_thresh_px: float = 1.0       # Sampson threshold (reference :156)
+    pnp_hypotheses: int = 512      # P3P hypothesis count
+    pnp_thresh_px: float = 2.0     # reprojection threshold (reference :238)
+    refine_iters: int = 8          # Gauss-Newton pose-polish iterations
+    min_pnp_inliers: int = 4       # below this → re-bootstrap (reference :274)
+
+
+@dataclass(frozen=True)
+class TriangulationConfig:
+    """Candidate validation + promotion. Reference: bearing angle alpha > 1 deg
+    (``config.yaml:21``, ``src/vo_pipeline.py:607-655``). Unlike the reference (which
+    thresholds a pixel-space proxy, see SURVEY §2.1), we compute the *true* parallax
+    angle through K^-1 and the first/current rotations."""
+
+    alpha_deg: float = 1.0
+    max_depth: float = 120.0       # landmarks further than this are rejected
+    min_depth: float = 1.0
+    max_reproj_px: float = 3.0     # post-triangulation reprojection gate
+
+
+@dataclass(frozen=True)
+class StateConfig:
+    """Fixed capacities of the masked track tables (XLA static shapes)."""
+
+    max_tracks: int = 1024         # landmark tracks: P[K,2], X[K,3]
+    max_candidates: int = 1536     # candidate tracks: C/F[M,2] + first pose
+    max_new_per_frame: int = 256   # new candidates admitted per frame
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    """Sliding-window local bundle adjustment (reference future work, report §3.2;
+    BASELINE.json config 3: window=10 keyframes, Schur-complement Gauss-Newton)."""
+
+    enabled: bool = False
+    window: int = 10               # keyframes in the window
+    max_points: int = 512          # landmark capacity inside the window
+    gn_iters: int = 5
+    damping: float = 1e-3          # Levenberg-Marquardt diagonal damping
+    huber_px: float = 2.0
+    keyframe_every: int = 5        # simple keyframe cadence
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Mesh / device-runtime knobs."""
+
+    mesh_shape: tuple = ()         # e.g. (2, 4) for ('host','chip'); () = single device
+    mesh_axes: tuple = ("host", "chip")
+    dtype: str = "float32"         # compute dtype for image ops
+    donate_state: bool = True
+    prefetch_depth: int = 2        # frames in flight host->device
+
+
+@dataclass(frozen=True)
+class BootstrapConfig:
+    """Two-view initialization. Reference: bootstrap frame pairs [0,6] KITTI/Malaga,
+    [0,4] parking (``src/main.py:27,45,63``); re-bootstrap skips 4 frames
+    (``src/vo_pipeline.py:288``)."""
+
+    frame_gap: int = 6
+    rebootstrap_skip: int = 4
+    min_matches: int = 40
+
+
+@dataclass(frozen=True)
+class VOConfig:
+    dataset: str = "synthetic"     # 'kitti' | 'malaga' | 'parking' | 'synthetic'
+    data_root: str = "datasets"
+    # the three reference candidate-detection modes (``config.yaml:6``):
+    find_new_candidates_method: str = "shi-mask"  # 'shi-mask'|'sift-mask'|'sift-sift'
+    image_height: int = 376        # KITTI default; static shape of the compiled step
+    image_width: int = 1240
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    descriptor: DescriptorConfig = field(default_factory=DescriptorConfig)
+    klt: KLTConfig = field(default_factory=KLTConfig)
+    ransac: RansacConfig = field(default_factory=RansacConfig)
+    triangulation: TriangulationConfig = field(default_factory=TriangulationConfig)
+    state: StateConfig = field(default_factory=StateConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    bootstrap: BootstrapConfig = field(default_factory=BootstrapConfig)
+    seed: int = 0
+    debug: bool = False
+    visualization: bool = False
+    animation: bool = False
+
+
+def _update_dataclass(obj: Any, updates: dict) -> Any:
+    """Recursively apply a nested dict of overrides to a frozen dataclass tree."""
+    kw = {}
+    for f in dataclasses.fields(obj):
+        if f.name not in updates:
+            continue
+        v = updates[f.name]
+        cur = getattr(obj, f.name)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            kw[f.name] = _update_dataclass(cur, v)
+        else:
+            kw[f.name] = tuple(v) if isinstance(cur, tuple) and isinstance(v, list) else v
+    unknown = set(updates) - {f.name for f in dataclasses.fields(obj)}
+    if unknown:
+        raise KeyError(f"unknown config keys for {type(obj).__name__}: {sorted(unknown)}")
+    return dataclasses.replace(obj, **kw)
+
+
+def load_config(path: str | None = None, overrides: dict | None = None) -> VOConfig:
+    """Build a :class:`VOConfig`, optionally from a YAML file plus a dict of overrides.
+
+    Unlike the reference's import-time module-global (``src/vo_pipeline.py:11-17``),
+    this is explicit and injected: callers pass the config object down the stack.
+    """
+    cfg = VOConfig()
+    if path is not None:
+        import yaml
+
+        with open(path) as fh:
+            data = yaml.safe_load(fh) or {}
+        cfg = _update_dataclass(cfg, data)
+    if overrides:
+        cfg = _update_dataclass(cfg, overrides)
+    return cfg

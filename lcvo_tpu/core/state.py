@@ -1,0 +1,178 @@
+"""Fixed-capacity masked VO state — the XLA-native replacement for the reference's
+ragged numpy state.
+
+The reference mutates ragged arrays every frame (``np.delete`` / ``np.concatenate``,
+value-based row matching via ``np.isin`` — ``src/vo_pipeline.py:217-225,521-545``),
+which is hostile to XLA (shape changes every step → recompile). Here the Markovian
+state ``S_i = (P, X, C, F, T)`` (reference ``src/vo_pipeline.py:20-38``, README.md:48-56)
+lives in **preallocated tables with validity masks**:
+
+- ``TrackTable``  : landmark tracks   P[K,2] pixels, X[K,3] world points, valid[K]
+- ``CandidateTable``: candidate tracks C[M,2] current px, F[M,2] first-observation px,
+  first-observation pose (R_f[M,3,3], t_f[M,3]) — the reference's ``T`` — and valid[M]
+
+Slot lifecycle is index-based (no value matching): pruning clears masks in place;
+insertion assigns new items to free slots via a stable argsort of the validity mask.
+Shapes never change → the whole per-frame step compiles once.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TrackTable(NamedTuple):
+    """Active landmark tracks (the reference's ``state['P'], state['X']``)."""
+
+    P: jnp.ndarray      # (K, 2) float32 — pixel positions in the current frame
+    X: jnp.ndarray      # (K, 3) float32 — world-frame landmarks
+    valid: jnp.ndarray  # (K,)  bool
+
+    @property
+    def capacity(self) -> int:
+        return self.P.shape[0]
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid)
+
+
+class CandidateTable(NamedTuple):
+    """Candidate tracks awaiting triangulation (the reference's extended state
+    ``C, F, T`` — ``src/main.py:185-188``). The first-observation pose is stored as
+    (R_f, t_f) per slot instead of a 4x4 (cheaper, and what triangulation wants)."""
+
+    C: jnp.ndarray       # (M, 2) float32 — current pixel positions
+    F: jnp.ndarray       # (M, 2) float32 — first-observation pixel positions
+    R_f: jnp.ndarray     # (M, 3, 3) float32 — first-observation world→camera rotation
+    t_f: jnp.ndarray     # (M, 3) float32
+    valid: jnp.ndarray   # (M,) bool
+    age: jnp.ndarray     # (M,) int32 — frames since first observation
+
+    @property
+    def capacity(self) -> int:
+        return self.C.shape[0]
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.valid)
+
+
+class VOState(NamedTuple):
+    """Full Markovian per-frame state: ``[S_i, T_i] = process_frame(I_i, S_{i-1})``."""
+
+    tracks: TrackTable
+    cands: CandidateTable
+    R: jnp.ndarray          # (3, 3) current world→camera rotation
+    t: jnp.ndarray          # (3,) current world→camera translation
+    frame_idx: jnp.ndarray  # () int32
+    prev_image: jnp.ndarray  # (H, W) float32 — previous grayscale frame (device-side)
+    prev_pyramid: tuple      # tuple of (H/2^l, W/2^l) arrays — previous frame's pyramid
+    health: jnp.ndarray     # () int32 — consecutive-frame inlier-starvation counter
+
+
+def make_track_table(capacity: int) -> TrackTable:
+    return TrackTable(
+        P=jnp.zeros((capacity, 2), jnp.float32),
+        X=jnp.zeros((capacity, 3), jnp.float32),
+        valid=jnp.zeros((capacity,), bool),
+    )
+
+
+def make_candidate_table(capacity: int) -> CandidateTable:
+    return CandidateTable(
+        C=jnp.zeros((capacity, 2), jnp.float32),
+        F=jnp.zeros((capacity, 2), jnp.float32),
+        R_f=jnp.zeros((capacity, 3, 3), jnp.float32),
+        t_f=jnp.zeros((capacity, 3), jnp.float32),
+        valid=jnp.zeros((capacity,), bool),
+        age=jnp.zeros((capacity,), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Masked slot operations
+# ---------------------------------------------------------------------------
+
+
+def free_slots(valid: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Indices of the first ``n`` free slots (stable). If fewer than ``n`` are free the
+    tail indices point at *occupied* slots — callers must also gate on
+    ``num_free`` (see :func:`insert_mask`)."""
+    order = jnp.argsort(valid, stable=True)  # False (free) slots first
+    return order[:n]
+
+
+def insert_into_tracks(table: TrackTable, P_new, X_new, new_valid) -> TrackTable:
+    """Insert up to N new landmarks into free slots of the track table.
+
+    P_new (N,2), X_new (N,3), new_valid (N,) — only entries with new_valid=True and a
+    genuinely-free destination slot are written. Overflow (more new items than free
+    slots) silently drops the excess — matching the bounded-capacity design.
+    """
+    n = min(P_new.shape[0], table.capacity)
+    P_new, X_new, new_valid = P_new[:n], X_new[:n], new_valid[:n]
+    slots = free_slots(table.valid, n)
+    num_free = jnp.sum(~table.valid)
+    rank = jnp.arange(n)
+    ok = new_valid & (rank < num_free)
+    # guard: never overwrite an occupied slot (when ok is False we scatter the slot's
+    # existing contents back onto itself)
+    P = table.P.at[slots].set(jnp.where(ok[:, None], P_new, table.P[slots]))
+    X = table.X.at[slots].set(jnp.where(ok[:, None], X_new, table.X[slots]))
+    valid = table.valid.at[slots].set(jnp.where(ok, True, table.valid[slots]))
+    return TrackTable(P=P, X=X, valid=valid)
+
+
+def insert_into_candidates(
+    table: CandidateTable, C_new, R_cur, t_cur, new_valid
+) -> CandidateTable:
+    """Admit new candidate keypoints: first observation F=C_new, first pose = current
+    (reference appends with ``F=c, T=T_cur`` at ``src/vo_pipeline.py:578-591``)."""
+    n = min(C_new.shape[0], table.capacity)
+    C_new, new_valid = C_new[:n], new_valid[:n]
+    slots = free_slots(table.valid, n)
+    num_free = jnp.sum(~table.valid)
+    rank = jnp.arange(n)
+    ok = new_valid & (rank < num_free)
+    C = table.C.at[slots].set(jnp.where(ok[:, None], C_new, table.C[slots]))
+    F = table.F.at[slots].set(jnp.where(ok[:, None], C_new, table.F[slots]))
+    R_f = table.R_f.at[slots].set(
+        jnp.where(ok[:, None, None], jnp.broadcast_to(R_cur, (n, 3, 3)), table.R_f[slots])
+    )
+    t_f = table.t_f.at[slots].set(
+        jnp.where(ok[:, None], jnp.broadcast_to(t_cur, (n, 3)), table.t_f[slots])
+    )
+    valid = table.valid.at[slots].set(jnp.where(ok, True, table.valid[slots]))
+    age = table.age.at[slots].set(jnp.where(ok, 0, table.age[slots]))
+    return CandidateTable(C=C, F=F, R_f=R_f, t_f=t_f, valid=valid, age=age)
+
+
+def prune_tracks(table: TrackTable, keep: jnp.ndarray) -> TrackTable:
+    """Drop tracks where keep=False (index-aligned, replaces the reference's
+    ``np.delete`` at ``src/vo_pipeline.py:217-225``)."""
+    return table._replace(valid=table.valid & keep)
+
+
+def prune_candidates(table: CandidateTable, keep: jnp.ndarray) -> CandidateTable:
+    return table._replace(valid=table.valid & keep)
+
+
+def make_vo_state(cfg, image_shape) -> VOState:
+    """Fresh (pre-bootstrap) state with empty tables."""
+    H, W = image_shape
+    levels = cfg.klt.levels
+    pyr = tuple(
+        jnp.zeros((H >> l, W >> l), jnp.float32) for l in range(levels)
+    )
+    return VOState(
+        tracks=make_track_table(cfg.state.max_tracks),
+        cands=make_candidate_table(cfg.state.max_candidates),
+        R=jnp.eye(3, dtype=jnp.float32),
+        t=jnp.zeros((3,), jnp.float32),
+        frame_idx=jnp.zeros((), jnp.int32),
+        prev_image=jnp.zeros((H, W), jnp.float32),
+        prev_pyramid=pyr,
+        health=jnp.zeros((), jnp.int32),
+    )
