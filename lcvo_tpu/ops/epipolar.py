@@ -1,0 +1,136 @@
+"""Essential-matrix estimation: batched 8-point RANSAC + cheirality pose recovery.
+
+TPU-native equivalent of ``cv2.findEssentialMat`` (Nistér 5-point + RANSAC, reference
+``src/vo_pipeline.py:156``) and ``cv2.recoverPose`` (``:159``). Instead of OpenCV's
+serial adaptive RANSAC, all H hypotheses are solved in parallel: minimal 8-point sets
+→ batched normal-equation null vectors (9x9 eigh) → rank-2 projection → Sampson
+scoring of every hypothesis against every correspondence as one matmul-shaped kernel
+(MSAC). BASELINE.json allows the 8-point DLT in place of Nistér's 5-point.
+
+All point inputs here are **normalized** image coordinates (pixels pre-multiplied by
+K^-1) so thresholds are focal-length independent; callers convert pixel thresholds via
+``thresh_px / fx``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lcvo_tpu.core import geometry as geo
+from lcvo_tpu.ops import ransac
+
+
+def _homogeneous(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([x, jnp.ones(x.shape[:-1] + (1,), x.dtype)], axis=-1)
+
+
+def eight_point(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | None = None):
+    """Least-squares essential/fundamental fit from ≥8 correspondences.
+
+    x1, x2: (..., N, 2) normalized coords with x2^T E x1 = 0. Optional weights w
+    (..., N). Returns E (..., 3, 3) (not yet rank-2-projected). Batched over leading
+    dims — this one routine serves both the minimal solver (N=8, batched over
+    hypotheses) and the all-inlier refit.
+    """
+    h1 = _homogeneous(x1)
+    h2 = _homogeneous(x2)
+    # row_i = kron(x2_i, x1_i): (..., N, 9)
+    A = (h2[..., :, None] * h1[..., None, :]).reshape(*h1.shape[:-1], 9)
+    if w is not None:
+        A = A * w[..., None]
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    _, V = jnp.linalg.eigh(AtA)
+    e = V[..., :, 0]  # smallest eigenvector
+    return e.reshape(*e.shape[:-1], 3, 3)
+
+
+def project_to_essential(E: jnp.ndarray) -> jnp.ndarray:
+    """Project onto the essential manifold: singular values → (1, 1, 0)."""
+    U, s, Vt = jnp.linalg.svd(E)
+    d = jnp.asarray([1.0, 1.0, 0.0], E.dtype)
+    return U @ (d[..., :, None] * Vt)
+
+
+def decompose_essential(E: jnp.ndarray):
+    """E → four (R, t) candidates (cam1→cam2), ||t|| = 1.
+
+    Returns R (4, 3, 3), t (4, 3). The physical one is picked by cheirality
+    (:func:`recover_pose`), replacing ``cv2.recoverPose``'s internal test.
+    """
+    U, s, Vt = jnp.linalg.svd(E)
+    # make proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.asarray([[0.0, -1, 0], [1, 0, 0], [0, 0, 1]], E.dtype)
+    Ra = U @ W @ Vt
+    Rb = U @ W.T @ Vt
+    u3 = U[..., :, 2]
+    R = jnp.stack([Ra, Ra, Rb, Rb])
+    t = jnp.stack([u3, -u3, u3, -u3])
+    return R, t
+
+
+def recover_pose(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.ndarray):
+    """Cheirality-disambiguated pose from E: triangulate under all 4 decompositions,
+    pick the one with the most points in front of both cameras (batched equivalent of
+    ``cv2.recoverPose``, reference ``src/vo_pipeline.py:159``).
+
+    Returns (R (3,3), t (3,), n_good) with pose cam1→cam2 (x2 = R x1 + t).
+    """
+    R4, t4 = decompose_essential(E)
+    eye = jnp.eye(3, dtype=E.dtype)
+    zero = jnp.zeros((3,), E.dtype)
+
+    def count_good(R, t):
+        X = geo.triangulate_linear(eye, zero, R, t, x1, x2)
+        z1 = X[..., 2]
+        Xc2 = geo.se3_apply(R, t, X)
+        z2 = Xc2[..., 2]
+        good = (z1 > 0) & (z2 > 0) & valid
+        return jnp.sum(good)
+
+    counts = jax.vmap(count_good)(R4, t4)
+    best = jnp.argmax(counts)
+    return R4[best], t4[best], counts[best]
+
+
+@partial(jax.jit, static_argnames=("n_hyp",))
+def essential_ransac(
+    key,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    valid: jnp.ndarray,
+    thresh: float,
+    n_hyp: int = 512,
+):
+    """Robust essential matrix from normalized correspondences.
+
+    Returns (E (3,3), inliers (N,) bool, n_inliers). ``thresh`` is the Sampson
+    distance threshold in normalized units (pixel_thresh / fx).
+    """
+    N = x1.shape[0]
+    idx = ransac.sample_minimal_sets(key, N, valid, n_hyp, 8)  # (H, 8)
+    s1 = x1[idx]  # (H, 8, 2)
+    s2 = x2[idx]
+    E_h = eight_point(s1, s2)                       # (H, 3, 3)
+    E_h = project_to_essential(E_h)
+    h1 = _homogeneous(x1)
+    h2 = _homogeneous(x2)
+    err = geo.sampson_error(E_h, h1, h2)            # (H, N)
+    score, counts = ransac.msac_score(err, valid, thresh * thresh)
+    best = ransac.best_hypothesis(score)
+    E_best = E_h[best]
+    inl = (geo.sampson_error(E_best, h1, h2) < thresh * thresh) & valid
+
+    # final least-squares refit on all inliers (weighted), then re-project
+    E_ref = project_to_essential(eight_point(x1, x2, w=inl.astype(x1.dtype)))
+    err_ref = geo.sampson_error(E_ref, h1, h2)
+    inl_ref = (err_ref < thresh * thresh) & valid
+    # keep the refit only if it didn't lose inliers (degenerate refits can)
+    use_ref = jnp.sum(inl_ref) >= jnp.sum(inl)
+    E_out = jnp.where(use_ref, E_ref, E_best)
+    inl_out = jnp.where(use_ref, inl_ref, inl)
+    return E_out, inl_out, jnp.sum(inl_out)
