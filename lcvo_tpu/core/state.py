@@ -111,6 +111,10 @@ def insert_into_tracks(table: TrackTable, P_new, X_new, new_valid) -> TrackTable
     genuinely-free destination slot are written. Overflow (more new items than free
     slots) silently drops the excess — matching the bounded-capacity design.
     """
+    # order new items valid-first so ranks are contiguous and invalid entries never
+    # consume free slots
+    order = jnp.argsort(~new_valid, stable=True)
+    P_new, X_new, new_valid = P_new[order], X_new[order], new_valid[order]
     n = min(P_new.shape[0], table.capacity)
     P_new, X_new, new_valid = P_new[:n], X_new[:n], new_valid[:n]
     slots = free_slots(table.valid, n)
@@ -130,6 +134,8 @@ def insert_into_candidates(
 ) -> CandidateTable:
     """Admit new candidate keypoints: first observation F=C_new, first pose = current
     (reference appends with ``F=c, T=T_cur`` at ``src/vo_pipeline.py:578-591``)."""
+    order = jnp.argsort(~new_valid, stable=True)
+    C_new, new_valid = C_new[order], new_valid[order]
     n = min(C_new.shape[0], table.capacity)
     C_new, new_valid = C_new[:n], new_valid[:n]
     slots = free_slots(table.valid, n)

@@ -1,0 +1,387 @@
+"""The Markovian VO state machine: bootstrap + per-frame processing.
+
+Re-design of the reference's driver loop (``src/main.py:184-307``) and its four
+algorithm modules (``VOInitializer``, ``KeypointsToLandmarksAssociator``,
+``PoseEstimator``, ``LandmarkTriangulator`` — ``src/vo_pipeline.py:41-750``) as ONE
+jitted, fixed-shape XLA program per frame:
+
+    state_{i}, result_i = process_frame(state_{i-1}, I_i, key)
+
+Inside the compiled step: pyramid build → joint KLT over tracks+candidates →
+PnP-RANSAC localization → inlier filtering → candidate bearing-angle validation →
+batched triangulation + promotion → masked re-detection. The host only decodes frames
+and reads back small metrics — the equivalent of the reference's Python↔OpenCV
+boundary is a single host↔TPU boundary per frame (SURVEY §3.2).
+
+Failure recovery: the reference re-bootstraps inside ``estimatePose`` when inliers < 4
+(``src/vo_pipeline.py:274-324``), reaching down into the dataset layer from an
+algorithm class. Here inlier starvation sets a ``health`` counter in the state; the
+host driver (:class:`VisualOdometry`) performs re-bootstrap as an explicit state-machine
+transition — and unlike the reference (which merges camera-frame landmarks into the
+world-frame map, SURVEY §2.1), re-initialized geometry is re-anchored through the last
+known world pose.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lcvo_tpu.config import VOConfig
+from lcvo_tpu.core import geometry as geo
+from lcvo_tpu.core import state as st
+from lcvo_tpu.ops import epipolar, harris, pnp
+from lcvo_tpu.ops.klt import pyramidal_klt
+from lcvo_tpu.ops.pyramid import build_pyramid
+
+
+class FrameResult(NamedTuple):
+    R: jnp.ndarray          # (3,3) world→camera
+    t: jnp.ndarray          # (3,)
+    pose_ok: jnp.ndarray    # () bool — PnP had enough inliers
+    n_tracked: jnp.ndarray  # () int — tracks surviving KLT
+    n_inliers: jnp.ndarray  # () int — PnP inliers
+    n_candidates: jnp.ndarray
+    n_promoted: jnp.ndarray
+    reproj_rms: jnp.ndarray  # () float — RMS reprojection error of inliers (px)
+
+
+def _normalize(uv, K):
+    return geo.normalize_points(uv, K)
+
+
+def make_process_frame(cfg: VOConfig, K: np.ndarray):
+    """Build the jitted per-frame step for a fixed config + intrinsics."""
+    Kj = jnp.asarray(K, jnp.float32)
+    fx = float(K[0][0] if isinstance(K, (list, tuple)) else K[0, 0])
+    kltc = cfg.klt
+    n_tracks = cfg.state.max_tracks
+    alpha_rad = float(np.deg2rad(cfg.triangulation.alpha_deg))
+    pnp_thresh_n = cfg.ransac.pnp_thresh_px / fx
+    max_cand_age = 90
+
+    def process_frame(state: st.VOState, image: jnp.ndarray, key) -> tuple[st.VOState, FrameResult]:
+        pyr_new = build_pyramid(image, kltc.levels)
+
+        # ------ 1. joint KLT over landmark tracks P and candidate tracks C ------
+        # (reference HOT LOOPs 1/1b: src/vo_pipeline.py:215,501 — one batched call)
+        pts = jnp.concatenate([state.tracks.P, state.cands.C], axis=0)
+        new_pts, klt_ok, _ = pyramidal_klt(
+            state.prev_pyramid,
+            pyr_new,
+            pts,
+            window=kltc.window,
+            iters=kltc.iters,
+            max_residual=kltc.max_residual,
+            max_displacement=kltc.max_displacement,
+            border=kltc.border,
+        )
+        P_new, C_new = new_pts[:n_tracks], new_pts[n_tracks:]
+        tracks = st.TrackTable(
+            P=P_new, X=state.tracks.X, valid=state.tracks.valid & klt_ok[:n_tracks]
+        )
+        cands = state.cands._replace(
+            C=C_new,
+            valid=state.cands.valid & klt_ok[n_tracks:],
+            age=state.cands.age + 1,
+        )
+        n_tracked = tracks.count()
+
+        # ------ 2. PnP-RANSAC localization (reference src/vo_pipeline.py:245-272) ------
+        k_pnp, k_det = jax.random.split(key)
+        x_obs = _normalize(tracks.P, Kj)
+        R, t, inl, n_inl = pnp.pnp_ransac(
+            k_pnp,
+            tracks.X,
+            x_obs,
+            tracks.valid,
+            thresh=pnp_thresh_n,
+            n_hyp=cfg.ransac.pnp_hypotheses,
+            refine_iters=cfg.ransac.refine_iters,
+        )
+        pose_ok = n_inl >= cfg.ransac.min_pnp_inliers
+        R = jnp.where(pose_ok, R, state.R)
+        t = jnp.where(pose_ok, t, state.t)
+        # filter state to PnP inliers (reference :327-331); on failure keep tracks
+        tracks = st.prune_tracks(tracks, jnp.where(pose_ok, inl, tracks.valid))
+        # reprojection RMS of inliers, in px
+        err_n = pnp.reproj_sq_error(R, t, tracks.X, x_obs)
+        err_n = jnp.where(tracks.valid & jnp.isfinite(err_n), err_n, 0.0)
+        rms = jnp.sqrt(jnp.sum(err_n) / jnp.maximum(tracks.count(), 1)) * fx
+
+        # ------ 3. candidate validation + batched triangulation + promotion ------
+        # (reference src/vo_pipeline.py:607-673, per-candidate Python loops → batched)
+        ang = geo.bearing_angle(cands.R_f, cands.t_f, R, t, cands.F, cands.C, Kj)
+        x_f = _normalize(cands.F, Kj)
+        x_c = _normalize(cands.C, Kj)
+        X_tri = geo.triangulate_linear(cands.R_f, cands.t_f, R, t, x_f, x_c)
+        Xc_cur = geo.se3_apply(R, t, X_tri)
+        z_cur = Xc_cur[:, 2]
+        # first-view depth must also be positive
+        z_first = geo.se3_apply(cands.R_f, cands.t_f, X_tri)[:, 2]
+        # reprojection gates in both views (px)
+        uv_c, _ = geo.project(Kj, R, t, X_tri)
+        re_c = jnp.sum((uv_c - cands.C) ** 2, axis=-1)
+        tri = cfg.triangulation
+        geom_ok = (
+            (z_cur > tri.min_depth)
+            & (z_cur < tri.max_depth)
+            & (z_first > tri.min_depth)
+            & (re_c < tri.max_reproj_px**2)
+        )
+        promote = cands.valid & (ang > alpha_rad) & geom_ok
+        tracks = st.insert_into_tracks(tracks, cands.C, X_tri, promote)
+        n_promoted = jnp.sum(promote)
+        # remove promoted and stale candidates
+        cands = st.prune_candidates(cands, ~promote & (cands.age < max_cand_age))
+
+        # ------ 4. re-detection of new candidates (reference :564-591) ------
+        det = cfg.detector
+        pts_det, _, det_ok = harris.detect_corners(
+            image,
+            max_corners=cfg.state.max_new_per_frame,
+            quality_level=det.quality_level,
+            cells_y=det.grid_cells_y,
+            cells_x=det.grid_cells_x,
+            cells_topk=det.cells_topk,
+            method="shi",
+            window=det.window,
+            border=kltc.border,
+        )
+        det_ok = harris.suppress_near_existing(
+            pts_det, det_ok, tracks.P, tracks.valid, det.min_distance
+        )
+        det_ok = harris.suppress_near_existing(
+            pts_det, det_ok, cands.C, cands.valid, det.min_distance
+        )
+        cands = st.insert_into_candidates(cands, pts_det, R, t, det_ok)
+
+        health = jnp.where(pose_ok, 0, state.health + 1)
+        new_state = st.VOState(
+            tracks=tracks,
+            cands=cands,
+            R=R,
+            t=t,
+            frame_idx=state.frame_idx + 1,
+            prev_image=image,
+            prev_pyramid=pyr_new,
+            health=health,
+        )
+        result = FrameResult(
+            R=R,
+            t=t,
+            pose_ok=pose_ok,
+            n_tracked=n_tracked,
+            n_inliers=n_inl,
+            n_candidates=cands.count(),
+            n_promoted=n_promoted,
+            reproj_rms=rms,
+        )
+        return new_state, result
+
+    return process_frame
+
+
+# ---------------------------------------------------------------------------
+# Two-view bootstrap
+# ---------------------------------------------------------------------------
+
+
+def make_bootstrap_fns(cfg: VOConfig, K: np.ndarray):
+    """Jitted pieces of the sequential-KLT two-view bootstrap.
+
+    The reference bootstraps by SIFT-matching frames [0, gap] directly
+    (``src/vo_pipeline.py:69-177``). Tracking through the intermediate frames with the
+    same KLT kernel is more robust for video (no descriptor ambiguity) and reuses the
+    hot kernel; a SIFT-matching bootstrap is also available via the frontend once
+    descriptors are enabled.
+    """
+    Kj = jnp.asarray(K, jnp.float32)
+    fx = float(K[0, 0])
+    kltc = cfg.klt
+
+    @jax.jit
+    def detect0(image):
+        det = cfg.detector
+        pts, score, ok = harris.detect_corners(
+            image,
+            max_corners=cfg.state.max_tracks,
+            quality_level=det.quality_level,
+            cells_y=det.grid_cells_y,
+            cells_x=det.grid_cells_x,
+            cells_topk=max(det.cells_topk, 8),
+            method=det.method if det.method in ("shi", "harris") else "shi",
+            window=det.window,
+            border=kltc.border,
+        )
+        return pts, ok
+
+    @jax.jit
+    def track_pair(pyr0, pyr1, pts, valid):
+        new_pts, ok, _ = pyramidal_klt(
+            pyr0,
+            pyr1,
+            pts,
+            window=kltc.window,
+            iters=kltc.iters,
+            max_residual=kltc.max_residual,
+            max_displacement=kltc.max_displacement,
+            border=kltc.border,
+        )
+        return new_pts, valid & ok
+
+    @partial(jax.jit, static_argnames=())
+    def two_view_init(key, pts0, pts1, valid):
+        """E-RANSAC + cheirality + triangulation between bootstrap endpoints.
+
+        Returns (R, t (unit baseline), X (N,3) world points, ok mask).
+        Reference: ``getPoseEstimate`` + ``get_2D_3D_landmarks_association``
+        (``src/vo_pipeline.py:139-177``).
+        """
+        x0 = _normalize(pts0, Kj)
+        x1 = _normalize(pts1, Kj)
+        E, inl, n_inl = epipolar.essential_ransac(
+            key, x0, x1, valid, thresh=cfg.ransac.e_thresh_px / fx, n_hyp=cfg.ransac.e_hypotheses
+        )
+        R, t, _ = epipolar.recover_pose(E, x0, x1, inl)
+        X = geo.triangulate_linear(jnp.eye(3), jnp.zeros(3), R, t, x0, x1)
+        z0 = X[:, 2]
+        z1 = geo.se3_apply(R, t, X)[:, 2]
+        uv1_hat, _ = geo.project(Kj, R, t, X)
+        re1 = jnp.sum((uv1_hat - pts1) ** 2, axis=-1)
+        ok = (
+            inl
+            & (z0 > cfg.triangulation.min_depth * 0.25)
+            & (z1 > cfg.triangulation.min_depth * 0.25)
+            & (re1 < cfg.ransac.e_thresh_px**2 * 16.0)
+        )
+        return R, t, X, ok, n_inl
+
+    return detect0, track_pair, two_view_init
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+
+class VisualOdometry:
+    """Host-side driver: owns the compiled step, the bootstrap state machine, and
+    failure recovery. The per-frame compute path is entirely on device."""
+
+    def __init__(self, cfg: VOConfig, K: np.ndarray):
+        self.cfg = cfg
+        self.K = np.asarray(K, np.float64)
+        self._process = jax.jit(make_process_frame(cfg, jnp.asarray(K, jnp.float32)), donate_argnums=(0,))
+        self._detect0, self._track_pair, self._two_view = make_bootstrap_fns(cfg, self.K)
+        self.state: st.VOState | None = None
+        self._key = jax.random.PRNGKey(cfg.seed)
+        self.trajectory: list[np.ndarray] = []  # camera centers (world)
+        self.results: list = []
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # -- bootstrap ---------------------------------------------------------
+    def bootstrap(self, frames: list[np.ndarray], R0: np.ndarray | None = None, t0: np.ndarray | None = None):
+        """Initialize from a short frame burst (length = bootstrap gap + 1).
+
+        Optional (R0, t0) anchors the first bootstrap camera at a known world pose —
+        used by re-bootstrap to keep the map in one frame (fixes the reference's
+        camera-frame/world-frame merge, SURVEY §2.1).
+        """
+        cfg = self.cfg
+        imgs = [jnp.asarray(f, jnp.float32) for f in frames]
+        pyrs = [build_pyramid(im, cfg.klt.levels) for im in imgs]
+        pts0, ok = self._detect0(imgs[0])
+        pts = pts0
+        for i in range(len(imgs) - 1):
+            pts, ok = self._track_pair(pyrs[i], pyrs[i + 1], pts, ok)
+        R, t, X, good, n_inl = self._two_view(self._next_key(), pts0, pts, ok)
+
+        # anchor into world frame: cam0 pose = (R0, t0) (identity on first bootstrap)
+        if R0 is None:
+            R0 = np.eye(3)
+            t0 = np.zeros(3)
+        R0j = jnp.asarray(R0, jnp.float32)
+        t0j = jnp.asarray(t0, jnp.float32)
+        # world→cam_last = (R, t) ∘ (R0, t0)
+        R_last, t_last = geo.se3_compose(R, t, R0j, t0j)
+        # landmarks were triangulated in cam0 frame → world: X_w = R0^T (X - t0·0) ... cam0 frame → world
+        Ri, ti = geo.se3_inverse(R0j, t0j)
+        X_w = geo.se3_apply(Ri, ti, X)
+
+        state = st.make_vo_state(cfg, imgs[0].shape)
+        tracks = st.insert_into_tracks(state.tracks, pts, X_w, good)
+        state = state._replace(
+            tracks=tracks,
+            R=R_last,
+            t=t_last,
+            prev_image=imgs[-1],
+            prev_pyramid=pyrs[-1],
+        )
+        self.state = state
+        return int(n_inl)
+
+    # -- per-frame ---------------------------------------------------------
+    def step(self, image: np.ndarray) -> FrameResult:
+        assert self.state is not None, "call bootstrap() first"
+        self.state, res = self._process(self.state, jnp.asarray(image, jnp.float32), self._next_key())
+        return res
+
+    def record(self, res: FrameResult):
+        R = np.asarray(res.R)
+        t = np.asarray(res.t)
+        self.trajectory.append(-R.T @ t)
+        self.results.append(res)
+
+    # -- full-sequence convenience ------------------------------------------
+    def run(self, frame_iter, n_frames: int, bootstrap_gap: int | None = None, on_frame=None):
+        """Run bootstrap + continuous operation over an iterable of frames.
+
+        Handles re-bootstrap on tracking failure (health counter) like the
+        reference's fallback (``src/vo_pipeline.py:274-324``) but at the driver level:
+        buffer the next ``gap+1`` frames, re-init anchored at the last good pose.
+        """
+        gap = bootstrap_gap or self.cfg.bootstrap.frame_gap
+        frames = []
+        it = iter(frame_iter)
+        for _ in range(gap + 1):
+            frames.append(next(it))
+        self.bootstrap(frames)
+        # trajectory for bootstrap frames: identity → first pose (interpolation-free:
+        # record endpoints only, like the reference which starts plotting at frame gap)
+        self.record(FrameResult(
+            R=self.state.R, t=self.state.t, pose_ok=jnp.array(True),
+            n_tracked=self.state.tracks.count(), n_inliers=self.state.tracks.count(),
+            n_candidates=jnp.array(0), n_promoted=jnp.array(0), reproj_rms=jnp.array(0.0),
+        ))
+        produced = gap + 1
+        rebootstrap_buf: list[np.ndarray] = []
+        while produced < n_frames:
+            try:
+                img = next(it)
+            except StopIteration:
+                break
+            produced += 1
+            if rebootstrap_buf:
+                rebootstrap_buf.append(img)
+                if len(rebootstrap_buf) == gap + 1:
+                    R_anchor = np.asarray(self.state.R)
+                    t_anchor = np.asarray(self.state.t)
+                    self.bootstrap(rebootstrap_buf, R0=R_anchor, t0=t_anchor)
+                    rebootstrap_buf = []
+                continue
+            res = self.step(img)
+            self.record(res)
+            if on_frame is not None:
+                on_frame(len(self.results) - 1, res)
+            if int(self.state.health) >= 2:
+                # tracking collapsed → re-bootstrap from the current frame burst
+                rebootstrap_buf = [img]
+        return self.trajectory
