@@ -1,0 +1,65 @@
+"""Brute-force descriptor matching on the MXU.
+
+TPU-native equivalent of ``cv2.BFMatcher.knnMatch(k=2)`` + Lowe's ratio test
+(reference ``src/vo_pipeline.py:107-114,443-450`` — SURVEY §2.2 N3). The all-pairs
+L2 distance matrix is one matmul (|a|^2 + |b|^2 - 2 a.b) — exactly the shape the
+systolic array wants; top-2 and the ratio test are vectorized reductions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@jax.jit
+def knn_match_ratio(
+    desc_q: jnp.ndarray,
+    valid_q: jnp.ndarray,
+    desc_t: jnp.ndarray,
+    valid_t: jnp.ndarray,
+    ratio: float = 0.8,
+):
+    """For each query descriptor, its best match among the targets if it passes the
+    ratio test (best < ratio * second-best, on L2 distance).
+
+    Returns (idx (Nq,) int32 — best target index, ok (Nq,) bool).
+    """
+    # squared L2 distances via one MXU matmul
+    qq = jnp.sum(desc_q * desc_q, axis=1, keepdims=True)
+    tt = jnp.sum(desc_t * desc_t, axis=1)
+    d2 = qq + tt[None, :] - 2.0 * jnp.dot(
+        desc_q, desc_t.T, preferred_element_type=jnp.float32
+    )
+    d2 = jnp.maximum(d2, 0.0)
+    d2 = jnp.where(valid_t[None, :], d2, jnp.inf)
+    # top-2 smallest
+    neg_top2, idx2 = lax.top_k(-d2, 2)
+    d_best = -neg_top2[:, 0]
+    d_second = -neg_top2[:, 1]
+    idx = idx2[:, 0].astype(jnp.int32)
+    ok = (
+        valid_q
+        & jnp.isfinite(d_best)
+        & (d_best < (ratio**2) * d_second)  # ratio on distances -> squared ratio
+    )
+    return idx, ok
+
+
+@jax.jit
+def mutual_match(
+    desc_a: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    ratio: float = 0.8,
+):
+    """Ratio-test matches that are also mutual nearest neighbors (the descriptor-
+    matching analog of OpenCV's crossCheck, which the reference notes as the
+    alternative to the ratio test at ``src/vo_pipeline.py:446``)."""
+    idx_ab, ok_ab = knn_match_ratio(desc_a, valid_a, desc_b, valid_b, ratio)
+    idx_ba, ok_ba = knn_match_ratio(desc_b, valid_b, desc_a, valid_a, ratio)
+    back = idx_ba[idx_ab]
+    ok = ok_ab & ok_ba[idx_ab] & (back == jnp.arange(desc_a.shape[0]))
+    return idx_ab, ok

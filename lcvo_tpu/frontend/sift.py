@@ -1,0 +1,380 @@
+"""SIFT-class scale-space detector + 128-d descriptor, XLA-static shapes.
+
+TPU-native equivalent of ``cv2.SIFT`` detect/compute (reference
+``src/vo_pipeline.py:95-104,417-419,443-444``, ``src/main.py:190-191`` — SURVEY §2.2
+N1). The reference's selected candidate mode ('sift-sift', report §3.1) and its
+bootstrap correspondences both ride on this kernel surface.
+
+Differences from OpenCV, deliberate for TPU (capability-equivalent, SURVEY §7):
+
+- **Static keypoint count**: scale-space extrema produce variable-count keypoints;
+  here each octave keeps a fixed top-k by |DoG| response with a validity mask, so the
+  whole detect+describe path has static shapes and compiles once.
+- No initial 2x upsampling octave (OpenCV's default); the VO frame stream is
+  high-resolution and the smallest-sigma features are the least stable under KLT.
+- Orientation: single dominant orientation per keypoint (OpenCV may emit several) —
+  fixed output shape; parabolic peak refinement kept.
+- Descriptor: the classic 4x4 spatial x 8 orientation-bin histogram (128-d), built
+  from a FIXED 16x16 rotated sample grid. The spatial soft-assignment matrix is a
+  compile-time constant, so binning is one (samples x bins) einsum — MXU work, not
+  scatter work.
+
+Everything is fp32; images are expected in [0, 255] (normalized internally).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lcvo_tpu.ops.pyramid import gaussian_blur
+
+
+class SiftFeatures(NamedTuple):
+    """Fixed-capacity keypoint table (strongest-first within each octave block)."""
+
+    pts: jnp.ndarray     # (N, 2) [x, y] full-resolution pixel coords
+    sigma: jnp.ndarray   # (N,) full-resolution scale
+    ori: jnp.ndarray     # (N,) orientation, radians
+    score: jnp.ndarray   # (N,) |DoG| response
+    valid: jnp.ndarray   # (N,) bool
+    desc: jnp.ndarray    # (N, 128) L2-normalized descriptor (zeros if not computed)
+
+
+# ---------------------------------------------------------------------------
+# Scale space
+# ---------------------------------------------------------------------------
+
+
+def build_scale_space(img: jnp.ndarray, octaves: int, s: int, sigma0: float = 1.6):
+    """Gaussian scale space: list over octaves of (s+3, H_o, W_o) stacks.
+
+    Incremental blurs: G[i] has absolute sigma sigma0 * 2^(i/s) within the octave;
+    the next octave starts from G[s] downsampled 2x (same absolute blur, half res).
+    """
+    x = img / 255.0
+    base = gaussian_blur(x, max(np.sqrt(max(sigma0**2 - 0.25, 0.01)), 0.3))
+    space = []
+    for _ in range(octaves):
+        gs = [base]
+        for i in range(1, s + 3):
+            sig_prev = sigma0 * 2.0 ** ((i - 1) / s)
+            sig_cur = sigma0 * 2.0 ** (i / s)
+            dsig = float(np.sqrt(sig_cur**2 - sig_prev**2))
+            gs.append(gaussian_blur(gs[-1], dsig))
+        stack = jnp.stack(gs)  # (s+3, H, W)
+        space.append(stack)
+        base = gs[s][::2, ::2]
+    return space
+
+
+def _stack_gradients(stack: jnp.ndarray):
+    """Central-difference gradients of a (L, H, W) stack. Returns (gx, gy)."""
+    gx = 0.5 * (jnp.roll(stack, -1, axis=2) - jnp.roll(stack, 1, axis=2))
+    gy = 0.5 * (jnp.roll(stack, -1, axis=1) - jnp.roll(stack, 1, axis=1))
+    return gx, gy
+
+
+def _bilinear_stack(stack: jnp.ndarray, li: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
+    """Bilinear sample a (L, H, W) stack at per-point layer ``li`` (N,) int and float
+    coords ys/xs (N, ...). One gather on the (L*H, W) view — no per-layer copies."""
+    L, H, W = stack.shape
+    flat = stack.reshape(L * H, W)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = ys - y0
+    wx = xs - x0
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+    extra = ys.ndim - 1
+    row = li.reshape(li.shape + (1,) * extra) * H + y0i
+    Ia = flat[row, x0i]
+    Ib = flat[row, x0i + 1]
+    Ic = flat[row + 1, x0i]
+    Id = flat[row + 1, x0i + 1]
+    top = Ia * (1 - wx) + Ib * wx
+    bot = Ic * (1 - wx) + Id * wx
+    return top * (1 - wy) + bot * wy
+
+
+# ---------------------------------------------------------------------------
+# Detection (per octave): 3D extrema -> gates -> top-k
+# ---------------------------------------------------------------------------
+
+
+def _detect_octave(
+    gstack: jnp.ndarray,
+    topk: int,
+    contrast_thresh: float,
+    edge_thresh: float,
+    s: int,
+    border: int,
+):
+    """One octave: returns (xy (k,2) octave-res, layer (k,), score (k,), valid (k,))."""
+    D = gstack[1:] - gstack[:-1]  # (s+2, H, W) DoG
+    L, H, W = D.shape
+
+    # 3x3x3 neighborhood extrema (strict on the 26 neighbors via >=/<= on the window max/min)
+    nmax = lax.reduce_window(D, -jnp.inf, lax.max, (3, 3, 3), (1, 1, 1), "SAME")
+    nmin = lax.reduce_window(D, jnp.inf, lax.min, (3, 3, 3), (1, 1, 1), "SAME")
+    is_ext = (D >= nmax) | (D <= nmin)
+
+    # edge response: 2x2 spatial Hessian ratio gate (Lowe's r-test, r = edge_thresh)
+    Dxx = jnp.roll(D, -1, 2) + jnp.roll(D, 1, 2) - 2 * D
+    Dyy = jnp.roll(D, -1, 1) + jnp.roll(D, 1, 1) - 2 * D
+    Dxy = 0.25 * (
+        jnp.roll(jnp.roll(D, -1, 1), -1, 2)
+        + jnp.roll(jnp.roll(D, 1, 1), 1, 2)
+        - jnp.roll(jnp.roll(D, -1, 1), 1, 2)
+        - jnp.roll(jnp.roll(D, 1, 1), -1, 2)
+    )
+    tr = Dxx + Dyy
+    det = Dxx * Dyy - Dxy * Dxy
+    r = edge_thresh
+    edge_ok = (det > 0) & (tr * tr * r < (r + 1) ** 2 * det)
+
+    contrast_ok = jnp.abs(D) > contrast_thresh / s
+
+    ll = lax.broadcasted_iota(jnp.int32, (L, H, W), 0)
+    yy = lax.broadcasted_iota(jnp.int32, (L, H, W), 1)
+    xx = lax.broadcasted_iota(jnp.int32, (L, H, W), 2)
+    layer_ok = (ll >= 1) & (ll <= s)
+    in_border = (yy >= border) & (yy < H - border) & (xx >= border) & (xx < W - border)
+
+    score = jnp.where(
+        is_ext & edge_ok & contrast_ok & layer_ok & in_border, jnp.abs(D), -jnp.inf
+    )
+    vals, idx = lax.top_k(score.reshape(-1), topk)
+    li = idx // (H * W)
+    yi = (idx % (H * W)) // W
+    xi = idx % W
+    valid = jnp.isfinite(vals)
+
+    # 2D subpixel refinement (quadratic fit in x, y on the selected layer)
+    def at(dy, dx):
+        return D[li, jnp.clip(yi + dy, 0, H - 1), jnp.clip(xi + dx, 0, W - 1)]
+
+    gx = 0.5 * (at(0, 1) - at(0, -1))
+    gy = 0.5 * (at(1, 0) - at(-1, 0))
+    hxx = at(0, 1) + at(0, -1) - 2 * at(0, 0)
+    hyy = at(1, 0) + at(-1, 0) - 2 * at(0, 0)
+    hxy = 0.25 * (at(1, 1) + at(-1, -1) - at(1, -1) - at(-1, 1))
+    det2 = hxx * hyy - hxy * hxy
+    safe = jnp.where(jnp.abs(det2) > 1e-12, det2, 1.0)
+    ox = -(hyy * gx - hxy * gy) / safe
+    oy = -(-hxy * gx + hxx * gy) / safe
+    good_off = (jnp.abs(ox) < 1.0) & (jnp.abs(oy) < 1.0) & (jnp.abs(det2) > 1e-12)
+    ox = jnp.where(good_off, ox, 0.0)
+    oy = jnp.where(good_off, oy, 0.0)
+
+    xy = jnp.stack([xi + ox, yi + oy], axis=-1).astype(jnp.float32)
+    return xy, li, vals, valid
+
+
+# ---------------------------------------------------------------------------
+# Orientation + descriptor (per octave, batched over that octave's keypoints)
+# ---------------------------------------------------------------------------
+
+_N_ORI_BINS = 36
+_DESC_GRID = 16          # 16x16 sample grid
+_DESC_SPATIAL = 4        # 4x4 spatial bins
+_DESC_ORI = 8            # 8 orientation bins
+
+
+def _make_desc_constants():
+    """Compile-time constants of the descriptor sample grid.
+
+    Samples live at fixed subregion-space coords q in [-2, 2) (units of one spatial
+    bin = 3*sigma); the soft spatial assignment of each of the 256 samples onto the
+    4x4 bins is keypoint-independent -> one constant (256, 16) matrix.
+    """
+    idx = (np.arange(_DESC_GRID) + 0.5) / _DESC_GRID * 4.0 - 2.0  # bin units, [-2, 2)
+    qu, qv = np.meshgrid(idx, idx, indexing="xy")
+    qu = qu.reshape(-1)
+    qv = qv.reshape(-1)  # (256,)
+    # Gaussian window over the descriptor support (Lowe: sigma = half window width)
+    wgauss = np.exp(-(qu**2 + qv**2) / (2 * (2.0**2)))
+    # soft assign q -> bins {0,1,2,3} at centers {-1.5,-0.5,.5,1.5}
+    W = np.zeros((_DESC_GRID * _DESC_GRID, _DESC_SPATIAL, _DESC_SPATIAL))
+    for k in range(qu.shape[0]):
+        ru = qu[k] + 1.5
+        rv = qv[k] + 1.5
+        u0 = int(np.floor(ru))
+        v0 = int(np.floor(rv))
+        fu = ru - u0
+        fv = rv - v0
+        for du, wu in ((0, 1 - fu), (1, fu)):
+            for dv, wv in ((0, 1 - fv), (1, fv)):
+                u, v = u0 + du, v0 + dv
+                if 0 <= u < 4 and 0 <= v < 4:
+                    W[k, v, u] = wu * wv * wgauss[k]
+    return (
+        jnp.asarray(np.stack([qu, qv], -1), jnp.float32),       # (256, 2)
+        jnp.asarray(W.reshape(-1, 16), jnp.float32),            # (256, 16)
+    )
+
+
+_DESC_Q, _DESC_W_SPATIAL = _make_desc_constants()
+
+
+def _orientation(gx_st, gy_st, li, xy, sig_rel, valid):
+    """Dominant gradient orientation per keypoint (36-bin smoothed histogram,
+    parabolic peak refinement) — octave-resolution inputs."""
+    P = 16
+    grid = (jnp.arange(P, dtype=jnp.float32) - (P - 1) / 2.0)
+    du, dv = jnp.meshgrid(grid, grid, indexing="xy")
+    offs = jnp.stack([du.reshape(-1), dv.reshape(-1)], -1)  # (256, 2)
+    # radius 4.5*sigma window sampled by 16x16 -> spacing 9*sigma/16
+    spacing = (sig_rel * 9.0 / P)[:, None, None]
+    xs = xy[:, None, 0:1] * 1.0 + offs[None, :, 0:1] * spacing
+    ys = xy[:, None, 1:2] * 1.0 + offs[None, :, 1:2] * spacing
+    xs = xs[..., 0]
+    ys = ys[..., 0]
+    gx = _bilinear_stack(gx_st, li, ys, xs)
+    gy = _bilinear_stack(gy_st, li, ys, xs)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    w = jnp.exp(-(du.reshape(-1) ** 2 + dv.reshape(-1) ** 2)[None, :] / (2 * (P / 3.0) ** 2))
+    ang = jnp.arctan2(gy, gx)  # [-pi, pi]
+    b = (ang / (2 * jnp.pi) + 0.5) * _N_ORI_BINS  # [0, 36)
+    b0 = jnp.floor(b)
+    fb = b - b0
+    b0i = jnp.mod(b0.astype(jnp.int32), _N_ORI_BINS)
+    contrib = mag * w
+    one0 = jax.nn.one_hot(b0i, _N_ORI_BINS, dtype=contrib.dtype)
+    one1 = jax.nn.one_hot(jnp.mod(b0i + 1, _N_ORI_BINS), _N_ORI_BINS, dtype=contrib.dtype)
+    hist = jnp.einsum("np,npb->nb", contrib * (1 - fb), one0) + jnp.einsum(
+        "np,npb->nb", contrib * fb, one1
+    )
+    # circular smoothing x2 with [1,4,6,4,1]/16
+    k5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], hist.dtype) / 16.0
+    for _ in range(2):
+        hist = sum(
+            k5[j] * jnp.roll(hist, j - 2, axis=1) for j in range(5)
+        )
+    peak = jnp.argmax(hist, axis=1)
+    hl = hist[jnp.arange(hist.shape[0]), jnp.mod(peak - 1, _N_ORI_BINS)]
+    hc = hist[jnp.arange(hist.shape[0]), peak]
+    hr = hist[jnp.arange(hist.shape[0]), jnp.mod(peak + 1, _N_ORI_BINS)]
+    denom = hl - 2 * hc + hr
+    off = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hl - hr) / denom, 0.0)
+    off = jnp.clip(off, -0.5, 0.5)
+    ori = (peak.astype(jnp.float32) + off + 0.5) / _N_ORI_BINS * 2 * jnp.pi - jnp.pi
+    return jnp.where(valid, ori, 0.0)
+
+
+def _describe(gx_st, gy_st, li, xy, sig_rel, ori, valid):
+    """128-d descriptors from a fixed rotated 16x16 sample grid (octave res)."""
+    c = jnp.cos(ori)[:, None]
+    s = jnp.sin(ori)[:, None]
+    # sample offsets: subregion coords q (256,2) scaled by bin width 3*sigma, rotated
+    bw = (3.0 * sig_rel)[:, None]
+    u = _DESC_Q[None, :, 0] * bw  # (N, 256)
+    v = _DESC_Q[None, :, 1] * bw
+    xs = xy[:, 0:1] + u * c - v * s
+    ys = xy[:, 1:2] + u * s + v * c
+    gx = _bilinear_stack(gx_st, li, ys, xs)
+    gy = _bilinear_stack(gy_st, li, ys, xs)
+    # rotate gradients into the keypoint frame
+    gu = gx * c + gy * s
+    gv = -gx * s + gy * c
+    mag = jnp.sqrt(gu * gu + gv * gv)
+    ang = jnp.arctan2(gv, gu)  # [-pi, pi] in keypoint frame
+    ob = (ang / (2 * jnp.pi) + 0.5) * _DESC_ORI
+    o0 = jnp.floor(ob)
+    fo = ob - o0
+    o0i = jnp.mod(o0.astype(jnp.int32), _DESC_ORI)
+    one0 = jax.nn.one_hot(o0i, _DESC_ORI, dtype=mag.dtype)
+    one1 = jax.nn.one_hot(jnp.mod(o0i + 1, _DESC_ORI), _DESC_ORI, dtype=mag.dtype)
+    wori = one0 * (mag * (1 - fo))[..., None] + one1 * (mag * fo)[..., None]  # (N,256,8)
+    # spatial soft-assign is the constant matrix -> one einsum (MXU)
+    desc = jnp.einsum("pk,npo->nko", _DESC_W_SPATIAL, wori)  # (N, 16, 8)
+    desc = desc.reshape(desc.shape[0], 128)
+    # normalize -> clamp 0.2 -> renormalize (Lowe's illumination robustness)
+    n1 = jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-12)
+    desc = jnp.minimum(desc / n1, 0.2)
+    n2 = jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-12)
+    desc = desc / n2
+    return jnp.where(valid[:, None], desc, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_keypoints",
+        "octaves",
+        "scales_per_octave",
+        "compute_desc",
+        "border",
+    ),
+)
+def sift(
+    img: jnp.ndarray,
+    max_keypoints: int = 512,
+    octaves: int = 3,
+    scales_per_octave: int = 3,
+    contrast_thresh: float = 0.04,
+    edge_thresh: float = 10.0,
+    sigma0: float = 1.6,
+    border: int = 8,
+    compute_desc: bool = True,
+) -> SiftFeatures:
+    """Detect (and optionally describe) SIFT-class features in a (H, W) image.
+
+    Returns a fixed-capacity :class:`SiftFeatures` with ``max_keypoints`` rows
+    (``max_keypoints // octaves`` per octave, strongest first within each block).
+    """
+    s = scales_per_octave
+    space = build_scale_space(img, octaves, s, sigma0)
+    k_oct = max(max_keypoints // octaves, 1)
+
+    pts_all, sig_all, ori_all, score_all, valid_all, desc_all = [], [], [], [], [], []
+    for o, gstack in enumerate(space):
+        xy, li, score, valid = _detect_octave(
+            gstack, k_oct, contrast_thresh, edge_thresh, s, border
+        )
+        sig_rel = sigma0 * 2.0 ** (li.astype(jnp.float32) / s)
+        gx_st, gy_st = _stack_gradients(gstack)
+        ori = _orientation(gx_st, gy_st, li, xy, sig_rel, valid)
+        if compute_desc:
+            desc = _describe(gx_st, gy_st, li, xy, sig_rel, ori, valid)
+        else:
+            desc = jnp.zeros((k_oct, 128), jnp.float32)
+        scale_f = float(2**o)
+        pts_all.append((xy + 0.5) * scale_f - 0.5)
+        sig_all.append(sig_rel * scale_f)
+        ori_all.append(ori)
+        score_all.append(score)
+        valid_all.append(valid)
+        desc_all.append(desc)
+
+    feats = SiftFeatures(
+        pts=jnp.concatenate(pts_all, 0),
+        sigma=jnp.concatenate(sig_all, 0),
+        ori=jnp.concatenate(ori_all, 0),
+        score=jnp.concatenate(score_all, 0),
+        valid=jnp.concatenate(valid_all, 0),
+        desc=jnp.concatenate(desc_all, 0),
+    )
+    n = feats.pts.shape[0]
+    if n < max_keypoints:  # pad to static capacity
+        pad = max_keypoints - n
+        feats = SiftFeatures(
+            pts=jnp.concatenate([feats.pts, jnp.zeros((pad, 2), jnp.float32)]),
+            sigma=jnp.concatenate([feats.sigma, jnp.zeros((pad,), jnp.float32)]),
+            ori=jnp.concatenate([feats.ori, jnp.zeros((pad,), jnp.float32)]),
+            score=jnp.concatenate([feats.score, jnp.full((pad,), -jnp.inf)]),
+            valid=jnp.concatenate([feats.valid, jnp.zeros((pad,), bool)]),
+            desc=jnp.concatenate([feats.desc, jnp.zeros((pad, 128), jnp.float32)]),
+        )
+    return feats

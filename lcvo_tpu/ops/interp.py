@@ -49,6 +49,40 @@ def gather_patches(img: jnp.ndarray, pts: jnp.ndarray, window: int):
     return bilinear_sample(img, ys, xs)
 
 
+def extract_blocks(img: jnp.ndarray, origins: jnp.ndarray, size: int):
+    """Integer-aligned (size, size) blocks via vmapped ``lax.dynamic_slice``.
+
+    ``origins`` (N, 2) int32 [x, y] top-left corners (clamped inside by XLA's
+    dynamic-slice semantics). On TPU this lowers to block-wise slices — orders of
+    magnitude faster than the per-element gathers of :func:`bilinear_sample`
+    (measured 2.4 s vs ~ms per KLT frame at KITTI res on v5e).
+    """
+
+    def one(o):
+        return jax.lax.dynamic_slice(img, (o[1], o[0]), (size, size))
+
+    return jax.vmap(one)(origins)
+
+
+def sample_blocks_bilinear(blocks: jnp.ndarray, frac: jnp.ndarray, out: int):
+    """Bilinear-resample (N, S, S) blocks at a per-block constant subpixel shift.
+
+    ``frac`` (N, 2) [fx, fy] in [0, 1); returns (N, out, out) sampled at
+    (1 + fx + i, 1 + fy + j) block coords — i.e. the caller's block origin should be
+    (floor(x) - 1 - r) so sample 0 lands at (x - r). Constant shift per block means
+    the four bilinear taps are STATIC slices — no gathers at all.
+    """
+    fx = frac[:, 0][:, None, None]
+    fy = frac[:, 1][:, None, None]
+    a = blocks[:, 1 : 1 + out, 1 : 1 + out]
+    b = blocks[:, 1 : 1 + out, 2 : 2 + out]
+    c = blocks[:, 2 : 2 + out, 1 : 1 + out]
+    d = blocks[:, 2 : 2 + out, 2 : 2 + out]
+    top = a * (1 - fx) + b * fx
+    bot = c * (1 - fx) + d * fx
+    return top * (1 - fy) + bot * fy
+
+
 def gather_patches_with_grad(img: jnp.ndarray, pts: jnp.ndarray, window: int):
     """Patches plus central-difference image gradients at the same sample points.
 

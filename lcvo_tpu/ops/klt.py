@@ -24,15 +24,46 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from lcvo_tpu.ops.interp import gather_patches, gather_patches_with_grad
+from lcvo_tpu.ops.interp import extract_blocks, sample_blocks_bilinear
+
+
+def _sample_at(img_padded, pad, q, window):
+    """(N, window, window) bilinear patches centered at q — via integer block slices
+    + constant-per-track fraction (static-shift bilinear). No element gathers.
+
+    ``img_padded`` is the level image edge-padded by ``pad`` px, so out-of-image
+    samples replicate the border — matching clamp-to-border bilinear semantics."""
+    r = (window - 1) // 2
+    qf = jnp.floor(q)
+    origins = (qf + (pad - r - 1)).astype(jnp.int32)  # sample 0 lands at q - r
+    blocks = extract_blocks(img_padded, origins, window + 2)
+    return sample_blocks_bilinear(blocks, q - qf, window)
 
 
 def _track_level(prev_img, next_img, pts_l, d, window, iters):
     """One pyramid level of IC-LK. pts_l, d in this level's pixel units.
 
     Returns (d, det_ok, residual) — residual is the mean |error| of the final patch.
+
+    Memory access is block-structured for the TPU: per track one integer-aligned
+    ``lax.dynamic_slice`` block, then the bilinear taps are four STATIC slices
+    weighted by the track's constant subpixel fraction. (The naive per-element
+    gather formulation measured 2.4 s/frame on v5e; this is the XLA-friendly
+    reshape of the same math.)
     """
-    T, gx, gy = gather_patches_with_grad(prev_img, pts_l, window)
+    r = (window - 1) // 2
+    pad = r + 3
+    prev_p = jnp.pad(prev_img, pad, mode="edge")
+    next_p = jnp.pad(next_img, pad, mode="edge")
+    # template + gradients from one (window+4)^2 block: samples span q +- (r+1)
+    qf = jnp.floor(pts_l)
+    o_t = (qf + (pad - r - 2)).astype(jnp.int32)
+    blocks_t = extract_blocks(prev_p, o_t, window + 4)
+    T23 = sample_blocks_bilinear(blocks_t, pts_l - qf, window + 2)  # q-r-1 .. q+r+1
+    w = window
+    T = T23[:, 1 : 1 + w, 1 : 1 + w]
+    gx = 0.5 * (T23[:, 1 : 1 + w, 2 : 2 + w] - T23[:, 1 : 1 + w, 0:w])
+    gy = 0.5 * (T23[:, 2 : 2 + w, 1 : 1 + w] - T23[:, 0:w, 1 : 1 + w])
     hxx = jnp.sum(gx * gx, axis=(1, 2))
     hxy = jnp.sum(gx * gy, axis=(1, 2))
     hyy = jnp.sum(gy * gy, axis=(1, 2))
@@ -41,7 +72,7 @@ def _track_level(prev_img, next_img, pts_l, d, window, iters):
     safe_det = jnp.where(det_ok, det, 1.0)
 
     def body(_, d):
-        I = gather_patches(next_img, pts_l + d, window)
+        I = _sample_at(next_p, pad, pts_l + d, window)
         e = I - T
         bx = jnp.sum(gx * e, axis=(1, 2))
         by = jnp.sum(gy * e, axis=(1, 2))
@@ -51,7 +82,7 @@ def _track_level(prev_img, next_img, pts_l, d, window, iters):
         return d - jnp.where(det_ok[:, None], step, 0.0)
 
     d = lax.fori_loop(0, iters, body, d)
-    I = gather_patches(next_img, pts_l + d, window)
+    I = _sample_at(next_p, pad, pts_l + d, window)
     residual = jnp.mean(jnp.abs(I - T), axis=(1, 2))
     return d, det_ok, residual
 

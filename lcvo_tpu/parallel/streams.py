@@ -1,0 +1,61 @@
+"""Stream-parallel (DP) execution: many independent VO streams, one compiled step.
+
+The reference is strictly sequential over one camera stream (``src/main.py:213``);
+its Markovian design precludes intra-trajectory DP (SURVEY §2.3). The TPU-native
+scale-out axis is therefore **across streams**: sequence replays, multi-camera rigs,
+or benchmark sweeps. Every per-frame kernel is already batched over tracks; here the
+whole ``process_frame`` is additionally vmapped over a leading stream dim and sharded
+over the device mesh with ``jax.sharding`` — XLA inserts the AllReduce for the
+cross-stream metric aggregation (rides ICI within a slice, DCN across).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lcvo_tpu.core import state as st
+from lcvo_tpu.pipeline import make_process_frame
+
+
+def make_batched_state(cfg, image_shape, n_streams: int) -> st.VOState:
+    """Empty VO state with a leading stream dimension on every leaf."""
+    s0 = st.make_vo_state(cfg, image_shape)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_streams,) + x.shape), s0
+    )
+
+
+def make_multistream_step(cfg, K, mesh: Mesh | None = None, axis: str = "data"):
+    """Build the jitted multi-stream step.
+
+    Returns ``step(states, images, keys) -> (states, results, agg)`` where every
+    argument/result has a leading stream dim sharded over ``axis`` of ``mesh`` (or
+    unsharded when ``mesh`` is None), and ``agg`` is a dict of fleet-wide scalar
+    metrics whose cross-stream sum XLA lowers to an AllReduce over ICI.
+    """
+    pf = make_process_frame(cfg, K)
+    batched = jax.vmap(pf)
+
+    def step(states, images, keys):
+        states, results = batched(states, images, keys)
+        agg = {
+            "tracked": jnp.sum(results.n_tracked),
+            "inliers": jnp.sum(results.n_inliers),
+            "promoted": jnp.sum(results.n_promoted),
+            "pose_ok": jnp.sum(results.pose_ok.astype(jnp.int32)),
+        }
+        return states, results, agg
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(sh, sh, sh),
+        out_shardings=(sh, sh, rep),
+        donate_argnums=(0,),
+    )
