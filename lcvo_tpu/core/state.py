@@ -30,6 +30,9 @@ class TrackTable(NamedTuple):
     P: jnp.ndarray      # (K, 2) float32 — pixel positions in the current frame
     X: jnp.ndarray      # (K, 3) float32 — world-frame landmarks
     valid: jnp.ndarray  # (K,)  bool
+    gen: jnp.ndarray    # (K,)  int32 — slot generation; bumped on insert so consumers
+    #                     holding references across frames (the BA window) can detect
+    #                     slot reuse for a different landmark
 
     @property
     def capacity(self) -> int:
@@ -77,6 +80,7 @@ def make_track_table(capacity: int) -> TrackTable:
         P=jnp.zeros((capacity, 2), jnp.float32),
         X=jnp.zeros((capacity, 3), jnp.float32),
         valid=jnp.zeros((capacity,), bool),
+        gen=jnp.zeros((capacity,), jnp.int32),
     )
 
 
@@ -126,7 +130,10 @@ def insert_into_tracks(table: TrackTable, P_new, X_new, new_valid) -> TrackTable
     P = table.P.at[slots].set(jnp.where(ok[:, None], P_new, table.P[slots]))
     X = table.X.at[slots].set(jnp.where(ok[:, None], X_new, table.X[slots]))
     valid = table.valid.at[slots].set(jnp.where(ok, True, table.valid[slots]))
-    return TrackTable(P=P, X=X, valid=valid)
+    gen = table.gen.at[slots].set(
+        jnp.where(ok, table.gen[slots] + 1, table.gen[slots])
+    )
+    return TrackTable(P=P, X=X, valid=valid, gen=gen)
 
 
 def insert_into_candidates(

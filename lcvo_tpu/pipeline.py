@@ -82,7 +82,10 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
         )
         P_new, C_new = new_pts[:n_tracks], new_pts[n_tracks:]
         tracks = st.TrackTable(
-            P=P_new, X=state.tracks.X, valid=state.tracks.valid & klt_ok[:n_tracks]
+            P=P_new,
+            X=state.tracks.X,
+            valid=state.tracks.valid & klt_ok[:n_tracks],
+            gen=state.tracks.gen,
         )
         cands = state.cands._replace(
             C=C_new,

@@ -1,0 +1,1 @@
+from lcvo_tpu.solve.ba import schur, window  # noqa: F401

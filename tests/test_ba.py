@@ -1,0 +1,152 @@
+"""Sliding-window BA: synthetic convergence + window bookkeeping.
+
+Pattern per SURVEY §4: analytic ground truth (known poses/points), perturb, assert
+the solver recovers it. The reference has no BA (future work, report §3.2) — the
+quadratic-test-problem strategy follows the rebuild test plan."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lcvo_tpu.core import geometry as geo
+from lcvo_tpu.core.state import make_track_table
+from lcvo_tpu.solve.ba import window as win_mod
+from lcvo_tpu.solve.ba.schur import BAProblem, ba_solve
+
+
+def _make_scene(rng, W=6, K=80, noise_px=0.0, fx=500.0):
+    """W cameras moving along +x looking at a cloud of K points."""
+    X = rng.uniform([-4, -2, 6], [4, 2, 14], (K, 3))
+    Rs, ts, obs = [], [], []
+    for w in range(W):
+        # camera center at (0.4*w, 0, 0), small rotation about y
+        ang = 0.02 * w
+        Rw = np.array(
+            [
+                [np.cos(ang), 0, np.sin(ang)],
+                [0, 1, 0],
+                [-np.sin(ang), 0, np.cos(ang)],
+            ]
+        )
+        c = np.array([0.4 * w, 0.0, 0.0])
+        t = -Rw @ c
+        p = (Rw @ X.T).T + t
+        xy = p[:, :2] / p[:, 2:3]
+        xy = xy + rng.normal(0, noise_px / fx, xy.shape)
+        Rs.append(Rw)
+        ts.append(t)
+        obs.append(xy)
+    return (
+        np.stack(Rs).astype(np.float32),
+        np.stack(ts).astype(np.float32),
+        X.astype(np.float32),
+        np.stack(obs).astype(np.float32),
+    )
+
+
+def test_ba_recovers_perturbed_scene():
+    rng = np.random.default_rng(0)
+    R, t, X, obs = _make_scene(rng)
+    W, K = obs.shape[:2]
+
+    # perturb everything except the two gauge-anchor poses
+    t_p = t.copy()
+    R_p = R.copy()
+    for w in range(2, W):
+        rv = rng.normal(0, 0.01, 3).astype(np.float32)
+        R_p[w] = np.asarray(geo.rodrigues(jnp.asarray(rv))) @ R[w]
+        t_p[w] = t[w] + rng.normal(0, 0.05, 3)
+    X_p = X + rng.normal(0, 0.1, X.shape).astype(np.float32)
+
+    prob = BAProblem(
+        R=jnp.asarray(R_p),
+        t=jnp.asarray(t_p),
+        X=jnp.asarray(X_p),
+        obs=jnp.asarray(obs),
+        mask=jnp.ones((W, K), bool),
+    )
+    res = ba_solve(prob, iters=10, n_fix=2)
+    assert float(res.cost) < 1e-4 * float(res.cost0)
+    # camera centers recovered
+    c_est = np.stack([np.asarray(geo.camera_center(res.R[w], res.t[w])) for w in range(W)])
+    c_gt = np.stack([np.asarray(geo.camera_center(R[w], t[w])) for w in range(W)])
+    assert np.max(np.abs(c_est - c_gt)) < 1e-2
+
+
+def test_ba_robust_to_outliers():
+    rng = np.random.default_rng(1)
+    R, t, X, obs = _make_scene(rng, noise_px=0.3)
+    W, K = obs.shape[:2]
+    # corrupt 10% of observations grossly
+    n_out = (W * K) // 10
+    iw = rng.integers(0, W, n_out)
+    ik = rng.integers(0, K, n_out)
+    obs[iw, ik] += rng.uniform(0.05, 0.2, (n_out, 2)) * rng.choice([-1, 1], (n_out, 2))
+
+    X_p = X + rng.normal(0, 0.05, X.shape).astype(np.float32)
+    prob = BAProblem(
+        R=jnp.asarray(R),
+        t=jnp.asarray(t),
+        X=jnp.asarray(X_p),
+        obs=jnp.asarray(obs),
+        mask=jnp.ones((W, K), bool),
+    )
+    res = ba_solve(prob, iters=10, n_fix=2, huber=2.0 / 500.0)
+    assert float(res.cost) < float(res.cost0)
+    c_est = np.stack([np.asarray(geo.camera_center(res.R[w], res.t[w])) for w in range(W)])
+    c_gt = np.stack([np.asarray(geo.camera_center(R[w], t[w])) for w in range(W)])
+    assert np.max(np.abs(c_est - c_gt)) < 5e-2
+
+
+def test_window_gen_masks_reused_slots():
+    """A slot re-used for a different landmark must not leak stale observations."""
+    Kcap = 8
+    tracks = make_track_table(Kcap)
+    tracks = tracks._replace(
+        P=jnp.arange(Kcap * 2, dtype=jnp.float32).reshape(Kcap, 2),
+        X=jnp.ones((Kcap, 3)),
+        valid=jnp.ones((Kcap,), bool),
+    )
+    w = win_mod.make_window(3, Kcap)
+    w = win_mod.push(w, tracks, jnp.eye(3), jnp.zeros(3))
+
+    # slot 0 gets re-used: generation bumps
+    tracks2 = tracks._replace(gen=tracks.gen.at[0].add(1))
+    w = win_mod.push(w, tracks2, jnp.eye(3), jnp.zeros(3))
+
+    K_mat = np.array([[100.0, 0, 0], [0, 100.0, 0], [0, 0, 1]])
+    prob, order = win_mod.gather_problem(w, tracks2, K_mat)
+    m = np.asarray(prob.mask)
+    order = np.asarray(order)
+    # rows in chronological order: last two rows are the two pushes
+    first, second = m[-2], m[-1]
+    assert not first[0]          # stale observation of slot 0 masked
+    # slot 0 then has only 1 matching-gen view → the whole column is masked by
+    # the >=2-view gate (a single view cannot constrain a landmark)
+    assert m[:, 0].sum() == 0
+    # other slots observed twice → both views valid
+    assert first[1] and second[1]
+
+
+def test_window_refine_improves_noisy_map():
+    rng = np.random.default_rng(2)
+    R, t, X, obs = _make_scene(rng, W=5, K=60, fx=200.0)
+    Kcap = 60
+    fx = 200.0
+    K_mat = np.array([[fx, 0, 0], [0, fx, 0], [0, 0, 1]], np.float32)
+
+    w = win_mod.make_window(5, Kcap)
+    X_noisy = X + rng.normal(0, 0.08, X.shape).astype(np.float32)
+    tracks = make_track_table(Kcap)._replace(
+        X=jnp.asarray(X_noisy), valid=jnp.ones((Kcap,), bool)
+    )
+    for i in range(5):
+        px = obs[i] * fx  # normalized → pixel with this K (cx=cy=0)
+        tr_i = tracks._replace(P=jnp.asarray(px))
+        w = win_mod.push(w, tr_i, jnp.asarray(R[i]), jnp.asarray(t[i]))
+
+    w2, tracks2, R_l, t_l, res = win_mod.refine_window(w, tracks._replace(P=jnp.asarray(obs[-1] * fx)), K_mat, iters=8, n_fix=2)
+    err0 = np.abs(X_noisy - X).max()
+    err1 = np.abs(np.asarray(tracks2.X) - X).max()
+    assert float(res.cost) < float(res.cost0)
+    assert err1 < 0.2 * err0
