@@ -69,7 +69,15 @@ def _extract_blocks(img: jnp.ndarray, centers: jnp.ndarray, S: int):
 
     Origins are clamped into the image (XLA dynamic-slice semantics), and the true
     block origin is returned so sampling positions stay exact after clamping.
+
+    On TPU backends this dispatches to the Pallas extraction kernel (VMEM-resident
+    image; ~10x faster than the vmapped dynamic_slice gather); elsewhere it uses
+    the portable XLA formulation.
     """
+    if jax.default_backend() in ("tpu", "axon") and centers.shape[0] % 8 == 0:
+        from lcvo_tpu.ops.klt_pallas import extract_blocks_pallas
+
+        return extract_blocks_pallas(img, centers, S)
     H, W = img.shape
     want = jnp.floor(centers) - (S - 1) // 2
     ox = jnp.clip(want[:, 0], 0, W - S).astype(jnp.int32)

@@ -93,6 +93,31 @@ def _kabsch(Pc: jnp.ndarray, Pw: jnp.ndarray):
     return R, t
 
 
+def _triad_align(Pc: jnp.ndarray, Pw: jnp.ndarray):
+    """Rigid transform world→camera from 3 EXACTLY corresponding points.
+
+    Builds orthonormal triads from the point triangles in both frames and composes
+    them: ``R = M_c M_w^T``. Exact when the correspondence is rigid (true for P3P
+    minimal sets); closed-form cross products only — no SVD.
+    Pc, Pw: (..., 3, 3) rows = points.
+    """
+
+    def triad(P):
+        u = P[..., 1, :] - P[..., 0, :]
+        v = P[..., 2, :] - P[..., 0, :]
+        e1 = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-12)
+        n = jnp.cross(e1, v)
+        e3 = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        e2 = jnp.cross(e3, e1)
+        return jnp.stack([e1, e2, e3], axis=-1)  # columns
+
+    Mc = triad(Pc)
+    Mw = triad(Pw)
+    R = jnp.einsum("...ij,...kj->...ik", Mc, Mw)
+    t = Pc[..., 0, :] - jnp.einsum("...ij,...j->...i", R, Pw[..., 0, :])
+    return R, t
+
+
 def p3p_grunert(Pw: jnp.ndarray, f: jnp.ndarray):
     """Grunert P3P: world points Pw (..., 3, 3) + unit bearings f (..., 3, 3)
     → up to 4 poses. Returns (R (..., 4, 3, 3), t (..., 4, 3), ok (..., 4)).
@@ -148,7 +173,9 @@ def p3p_grunert(Pw: jnp.ndarray, f: jnp.ndarray):
         axis=-2,
     )
     Pw4 = jnp.broadcast_to(Pw[..., None, :, :], Pc.shape)
-    R, t = _kabsch(Pc, Pw4)
+    # minimal sets are exact → closed-form triad alignment instead of the batched
+    # 3x3 SVD Kabsch (XLA's iterative batched SVD dominated the PnP profile)
+    R, t = _triad_align(Pc, Pw4)
     return R, t, root_ok & depth_ok
 
 

@@ -1,48 +1,64 @@
-"""Gaussian image pyramids (XLA convolutions).
+"""Gaussian image pyramids and small separable filters.
 
 TPU-native equivalent of the pyramid construction hidden inside
 ``cv2.calcOpticalFlowPyrLK`` (reference ``src/vo_pipeline.py:215,501``, default 3
-levels) and ``cv2.SIFT``'s scale space. Separable 5-tap binomial blur + 2x decimation;
-everything stays on device as fixed-shape arrays.
+levels) and ``cv2.SIFT``'s scale space.
+
+Implementation note: single-channel 2D convolutions are pathological on the TPU
+(``conv_general_dilated`` with C=1 pads channels onto the MXU, ~100x waste — a
+Shi-Tomasi structure tensor measured 10.5 ms/frame through the conv path). Small
+separable filters are instead **shift-and-add**: k static slices of the zero-padded
+image blended with fused multiply-adds on the VPU — bandwidth-bound and fusable.
 """
 
 from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 # binomial [1,4,6,4,1]/16 — the classic pyramid kernel
-_K5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+_K5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
 
 
-def _sep_conv(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-    """Separable 2D convolution of (H, W) image with 1D kernel k, SAME padding."""
+def _conv1d(img: jnp.ndarray, k, axis: int) -> jnp.ndarray:
+    """1D correlation along ``axis`` with static kernel ``k`` (numpy), SAME
+    zero padding — as static shifted slices + fma."""
+    k = np.asarray(k)
+    r = (len(k) - 1) // 2
+    pads = [(0, 0), (0, 0)]
+    pads[axis] = (r, r)
+    p = jnp.pad(img, pads)
     H, W = img.shape
-    x = img[None, None]  # NCHW
-    kh = k[None, None, :, None]
-    kw = k[None, None, None, :]
-    dn = lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    pad = (k.shape[0] - 1) // 2
-    x = lax.conv_general_dilated(x, kh.astype(img.dtype), (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn)
-    x = lax.conv_general_dilated(x, kw.astype(img.dtype), (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn)
-    return x[0, 0]
+    out = None
+    for j, kj in enumerate(k):
+        if kj == 0.0:
+            continue
+        sl = p[j : j + H, :] if axis == 0 else p[:, j : j + W]
+        term = sl if kj == 1.0 else float(kj) * sl
+        out = term if out is None else out + term
+    return out
+
+
+def _sep_conv(img: jnp.ndarray, k) -> jnp.ndarray:
+    """Separable 2D filter of (H, W) image with 1D kernel k, SAME zero padding."""
+    return _conv1d(_conv1d(img, k, 0), k, 1)
 
 
 def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """Separable Gaussian blur with a radius-3*sigma truncated kernel (static size)."""
     radius = max(1, int(3.0 * sigma + 0.5))
-    x = jnp.arange(-radius, radius + 1, dtype=img.dtype)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    k = k / jnp.sum(k)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k = k / np.sum(k)
     return _sep_conv(img, k)
 
 
 def downsample2(img: jnp.ndarray) -> jnp.ndarray:
     """Binomial blur + 2x decimation."""
-    return _sep_conv(img, _K5.astype(img.dtype))[::2, ::2]
+    return _sep_conv(img, _K5)[::2, ::2]
 
 
 @partial(jax.jit, static_argnames="levels")
@@ -55,24 +71,15 @@ def build_pyramid(img: jnp.ndarray, levels: int):
 
 
 def sobel_gradients(img: jnp.ndarray):
-    """Sobel x/y gradients, SAME padding. Returns (gx, gy)."""
-    d = jnp.array([-1.0, 0.0, 1.0], img.dtype) * 0.5
-    s = jnp.array([1.0, 2.0, 1.0], img.dtype) * 0.25
-    H, W = img.shape
-    x = img[None, None]
-    dn = lax.conv_dimension_numbers(x.shape, (1, 1, 3, 1), ("NCHW", "OIHW", "NCHW"))
-
-    def conv(v, kh, kw):
-        v = lax.conv_general_dilated(v, kh[None, None, :, None], (1, 1), [(1, 1), (0, 0)], dimension_numbers=dn)
-        v = lax.conv_general_dilated(v, kw[None, None, None, :], (1, 1), [(0, 0), (1, 1)], dimension_numbers=dn)
-        return v
-
-    gx = conv(x, s, d)[0, 0]
-    gy = conv(x, d, s)[0, 0]
+    """Sobel x/y gradients (smooth [1,2,1]/4 x diff [-1,0,1]/2), SAME padding."""
+    d = np.array([-1.0, 0.0, 1.0]) * 0.5
+    s = np.array([1.0, 2.0, 1.0]) * 0.25
+    gx = _conv1d(_conv1d(img, s, 0), d, 1)
+    gy = _conv1d(_conv1d(img, d, 0), s, 1)
     return gx, gy
 
 
 def box_filter(img: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """(2r+1)^2 box sum via two 1D convolutions."""
-    k = jnp.ones((2 * radius + 1,), img.dtype)
+    """(2r+1)^2 box sum via two 1D shift-and-add passes."""
+    k = np.ones((2 * radius + 1,))
     return _sep_conv(img, k)

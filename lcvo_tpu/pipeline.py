@@ -285,6 +285,14 @@ class VisualOdometry:
         self._key = jax.random.PRNGKey(cfg.seed)
         self.trajectory: list[np.ndarray] = []  # camera centers (world)
         self.results: list = []
+        # sliding-window BA (BASELINE config 3; reference future work, report §3.2)
+        self.window = None
+        if cfg.ba.enabled:
+            from lcvo_tpu.solve.ba import window as win_mod
+
+            self._win_mod = win_mod
+            self.window = win_mod.make_window(cfg.ba.window, cfg.state.max_tracks)
+            self._ba_push = jax.jit(win_mod.push)
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -320,6 +328,9 @@ class VisualOdometry:
         X_w = geo.se3_apply(Ri, ti, X)
 
         state = st.make_vo_state(cfg, imgs[0].shape)
+        if self.window is not None:
+            # stale keyframes must not constrain the re-initialized map
+            self.window = self._win_mod.make_window(cfg.ba.window, cfg.state.max_tracks)
         tracks = st.insert_into_tracks(state.tracks, pts, X_w, good)
         state = state._replace(
             tracks=tracks,
@@ -335,13 +346,84 @@ class VisualOdometry:
     def step(self, image: np.ndarray) -> FrameResult:
         assert self.state is not None, "call bootstrap() first"
         self.state, res = self._process(self.state, jnp.asarray(image, jnp.float32), self._next_key())
+        if self.window is not None and int(self.state.frame_idx) % self.cfg.ba.keyframe_every == 0:
+            self._ba_step()
         return res
+
+    def _ba_step(self):
+        """Push the current frame as a keyframe and refine the window.
+
+        The refined newest-keyframe pose re-anchors the live pose; refined
+        landmarks flow back into the track table (masked to participants).
+        """
+        cfg = self.cfg
+        st_ = self.state
+        win = self._ba_push(self.window, st_.tracks, st_.R, st_.t)
+        win, tracks, R, t, _res = self._win_mod.refine_window(
+            win,
+            st_.tracks,
+            jnp.asarray(self.K, jnp.float32),
+            iters=cfg.ba.gn_iters,
+            n_fix=min(2, cfg.ba.window - 1),
+            huber=cfg.ba.huber_px / float(self.K[0, 0]),
+        )
+        self.window = win
+        self.state = st_._replace(tracks=tracks, R=R, t=t)
 
     def record(self, res: FrameResult):
         R = np.asarray(res.R)
         t = np.asarray(res.t)
         self.trajectory.append(-R.T @ t)
         self.results.append(res)
+
+    # -- chunked throughput mode -------------------------------------------
+    def make_chunk_step(self, chunk: int):
+        """Jitted scan of ``process_frame`` over a chunk of frames.
+
+        The streaming/throughput path: one device dispatch per ``chunk`` frames
+        (the Markovian loop compiles once and streams — SURVEY §7 design stance).
+        Returns ``chunk_fn(state, frames (chunk,H,W), keys (chunk,2)) ->
+        (state', (R (chunk,3,3), t (chunk,3), pose_ok, n_inliers))``.
+        """
+        fn = make_process_frame(self.cfg, jnp.asarray(self.K, jnp.float32))
+
+        @jax.jit
+        def chunk_fn(state, frames, keys):
+            def body(s, xk):
+                img, k = xk
+                s2, res = fn(s, img, k)
+                return s2, (res.R, res.t, res.pose_ok, res.n_inliers)
+
+            return jax.lax.scan(body, state, (frames, keys))
+
+        return chunk_fn
+
+    def run_chunked(self, frames: np.ndarray, chunk: int = 16):
+        """Replay a whole sequence in device-resident chunks (bootstrap first).
+
+        ``frames``: (T, H, W). Poses for the scanned frames are appended to
+        ``self.trajectory``. Tail frames that don't fill a chunk run through the
+        per-frame path.
+        """
+        gap = self.cfg.bootstrap.frame_gap
+        self.bootstrap([frames[i] for i in range(gap + 1)])
+        chunk_fn = self.make_chunk_step(chunk)
+        i = gap + 1
+        T = len(frames)
+        while i + chunk <= T:
+            keys = jax.random.split(self._next_key(), chunk)
+            batch = jnp.asarray(frames[i : i + chunk], jnp.float32)
+            self.state, (Rs, ts, ok, ninl) = chunk_fn(self.state, batch, keys)
+            Rs = np.asarray(Rs)
+            ts = np.asarray(ts)
+            for j in range(chunk):
+                self.trajectory.append(-Rs[j].T @ ts[j])
+            i += chunk
+        while i < T:
+            res = self.step(frames[i])
+            self.record(res)
+            i += 1
+        return self.trajectory
 
     # -- full-sequence convenience ------------------------------------------
     def run(self, frame_iter, n_frames: int, bootstrap_gap: int | None = None, on_frame=None):

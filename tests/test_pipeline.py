@@ -63,3 +63,17 @@ def test_pipeline_reports_health(seq):
     assert bool(res.pose_ok)
     assert int(res.n_inliers) > 30
     assert float(res.reproj_rms) < 3.0
+
+
+def test_full_run_with_ba(seq):
+    """Sliding-window BA enabled (BASELINE config 3): trajectory stays accurate and
+    BA actually runs (keyframes populated)."""
+    cfg = small_cfg(ba={"enabled": True, "window": 6, "keyframe_every": 3, "gn_iters": 4})
+    vo = VisualOdometry(cfg, seq.K)
+    vo.run(seq.frames(), n_frames=60)
+    est = np.asarray(vo.trajectory)
+    assert len(est) >= 50
+    gt = seq.gt_positions()[cfg.bootstrap.frame_gap : cfg.bootstrap.frame_gap + len(est)]
+    err = ate_rmse(est, gt)
+    assert err < 0.5, f"ATE with BA {err:.3f} m too large"
+    assert bool(np.asarray(vo.window.kf_valid).any())
