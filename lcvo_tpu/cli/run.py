@@ -1,0 +1,112 @@
+"""CLI driver: run the VO pipeline on a dataset.
+
+The reference's entry point is ``python src/main.py`` with all behavior from
+``config.yaml`` (README.md:44). Here: ``python -m lcvo_tpu.cli.run [--config
+config.yaml] [--dataset kitti] ...`` — explicit flags override the YAML, which
+overrides the typed defaults.
+
+Outputs (under ``--out``): trajectory ``.npz``, per-frame metrics ``.jsonl``,
+trajectory plot ``.png``, ATE/RPE summary printed as one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="lcvo_tpu visual odometry runner")
+    p.add_argument("--config", default=None, help="YAML config file")
+    p.add_argument("--dataset", default=None, help="kitti | malaga | parking | synthetic")
+    p.add_argument("--data-root", default=None, help="directory holding the dataset folders")
+    p.add_argument("--frames", type=int, default=None, help="limit frame count")
+    p.add_argument("--mode", default=None, help="find_new_candidates_method override")
+    p.add_argument("--ba", action="store_true", help="enable sliding-window bundle adjustment")
+    p.add_argument("--chunked", action="store_true", help="throughput mode: scan frames in device-resident chunks")
+    p.add_argument("--out", default="runs/latest", help="output directory")
+    p.add_argument("--viz-every", type=int, default=0, help="dump a dashboard frame every N frames (0 = off)")
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+
+    from lcvo_tpu.config import load_config
+    from lcvo_tpu.data.datasets import Prefetcher, load_dataset
+    from lcvo_tpu.metrics import MetricsLogger, ate_rmse, rpe_stats
+    from lcvo_tpu.pipeline import VisualOdometry
+    from lcvo_tpu.viz import Dashboard, plot_trajectory
+
+    overrides: dict = {}
+    if args.dataset:
+        overrides["dataset"] = args.dataset
+    if args.data_root:
+        overrides["data_root"] = args.data_root
+    if args.mode:
+        overrides["find_new_candidates_method"] = args.mode
+    if args.ba:
+        overrides["ba"] = {"enabled": True}
+    cfg = load_config(args.config, overrides)
+
+    ds = load_dataset(cfg.dataset, cfg.data_root)
+    n_frames = min(args.frames or ds.n_frames, ds.n_frames)
+    first = ds.frame(0)
+    H, W = first.shape
+    cfg = load_config(args.config, {**overrides, "image_height": H, "image_width": W,
+                                    "bootstrap": {"frame_gap": ds.bootstrap_pair[1]}})
+
+    os.makedirs(args.out, exist_ok=True)
+    vo = VisualOdometry(cfg, ds.K)
+    metrics = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
+    dash = Dashboard(ds.K) if args.viz_every else None
+
+    t0 = time.perf_counter()
+    if args.chunked:
+        frames = np.stack([ds.frame(i) for i in range(n_frames)])
+        vo.run_chunked(frames)
+    else:
+        def on_frame(i, res):
+            metrics.log_frame(i, res)
+            if dash is not None and i % args.viz_every == 0:
+                dash.update(np.asarray(vo.state.prev_image), vo.state, res)
+                dash.render(os.path.join(args.out, f"dash_{i:06d}.png"))
+
+        vo.run(Prefetcher(ds, depth=cfg.runtime.prefetch_depth), n_frames, on_frame=on_frame)
+    wall = time.perf_counter() - t0
+
+    est = np.asarray(vo.trajectory)
+    np.savez(os.path.join(args.out, "trajectory.npz"), positions=est)
+
+    summary: dict = {
+        "dataset": cfg.dataset,
+        "frames": len(est),
+        "wall_s": round(wall, 2),
+        "frames_per_s": round(len(est) / wall, 2) if wall > 0 else None,
+        **metrics.summary(),
+    }
+    gt = ds.gt_positions()
+    if gt is not None and len(est) > 10:
+        gap = cfg.bootstrap.frame_gap
+        gt_al = gt[gap : gap + len(est)]
+        n = min(len(gt_al), len(est))
+        summary["ate_rmse_m"] = round(ate_rmse(est[:n], gt_al[:n]), 4)
+        rmse, med = rpe_stats(est[:n], gt_al[:n])
+        summary["rpe_rmse_m"] = round(rmse, 4)
+        summary["rpe_median_m"] = round(med, 4)
+        plot_trajectory(est, gt_al, os.path.join(args.out, "trajectory.png"),
+                        title=f"{cfg.dataset}: ATE {summary.get('ate_rmse_m')} m")
+    else:
+        plot_trajectory(est, None, os.path.join(args.out, "trajectory.png"), title=cfg.dataset)
+
+    metrics.close()
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

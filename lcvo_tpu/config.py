@@ -139,6 +139,10 @@ class BootstrapConfig:
     frame_gap: int = 6
     rebootstrap_skip: int = 4
     min_matches: int = 40
+    # 'klt': track corners through the intermediate frames (robust for video);
+    # 'sift': descriptor-match the endpoint pair directly — the reference's init
+    # (``src/vo_pipeline.py:69-121``: SIFT detect+describe + BF knn + ratio 0.8)
+    init_method: str = "klt"
 
 
 @dataclass(frozen=True)

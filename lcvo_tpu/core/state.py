@@ -73,6 +73,12 @@ class VOState(NamedTuple):
     prev_image: jnp.ndarray  # (H, W) float32 — previous grayscale frame (device-side)
     prev_pyramid: tuple      # tuple of (H/2^l, W/2^l) arrays — previous frame's pyramid
     health: jnp.ndarray     # () int32 — consecutive-frame inlier-starvation counter
+    # sift-sift candidate mode only (None otherwise): the previous frame's
+    # descriptor table, matched against to filter already-seen keypoints — the
+    # reference's intended semantics (it accidentally keeps the stale bootstrap
+    # descriptors, ``src/main.py:294``; SURVEY §2.1 quirks)
+    prev_desc: jnp.ndarray | None = None        # (D, 128) float32
+    prev_desc_valid: jnp.ndarray | None = None  # (D,) bool
 
 
 def make_track_table(capacity: int) -> TrackTable:
@@ -179,6 +185,8 @@ def make_vo_state(cfg, image_shape) -> VOState:
     pyr = tuple(
         jnp.zeros((H >> l, W >> l), jnp.float32) for l in range(levels)
     )
+    sift_sift = cfg.find_new_candidates_method == "sift-sift"
+    D = cfg.descriptor.max_keypoints
     return VOState(
         tracks=make_track_table(cfg.state.max_tracks),
         cands=make_candidate_table(cfg.state.max_candidates),
@@ -188,4 +196,6 @@ def make_vo_state(cfg, image_shape) -> VOState:
         prev_image=jnp.zeros((H, W), jnp.float32),
         prev_pyramid=pyr,
         health=jnp.zeros((), jnp.int32),
+        prev_desc=jnp.zeros((D, 128), jnp.float32) if sift_sift else None,
+        prev_desc_valid=jnp.zeros((D,), bool) if sift_sift else None,
     )

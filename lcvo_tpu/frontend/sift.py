@@ -214,9 +214,11 @@ def _make_desc_constants():
                 u, v = u0 + du, v0 + dv
                 if 0 <= u < 4 and 0 <= v < 4:
                     W[k, v, u] = wu * wv * wgauss[k]
+    # keep as numpy: module import may happen inside a jit trace (lazy imports),
+    # and device constants created there would leak as tracers
     return (
-        jnp.asarray(np.stack([qu, qv], -1), jnp.float32),       # (256, 2)
-        jnp.asarray(W.reshape(-1, 16), jnp.float32),            # (256, 16)
+        np.stack([qu, qv], -1).astype(np.float32),              # (256, 2)
+        W.reshape(-1, 16).astype(np.float32),                   # (256, 16)
     )
 
 

@@ -56,3 +56,49 @@ def rpe_stats(est_positions: np.ndarray, gt_positions: np.ndarray, delta: int = 
     d_gt = gt[delta:] - gt[:-delta]
     err = np.linalg.norm(d_est - d_gt, axis=1)
     return float(np.sqrt(np.mean(err**2))), float(np.median(err))
+
+
+class MetricsLogger:
+    """Structured per-frame metrics emission (JSONL), replacing the reference's
+    print-based observability (``src/main.py:214,231-237``,
+    ``src/vo_pipeline.py:267-272``). One dict per frame; cheap host-side."""
+
+    def __init__(self, path: str | None = None):
+        self.path = path
+        self.rows: list[dict] = []
+        self._fh = open(path, "w") if path else None
+
+    def log_frame(self, frame_idx: int, result) -> dict:
+        row = {
+            "frame": int(frame_idx),
+            "pose_ok": bool(np.asarray(result.pose_ok)),
+            "tracked": int(np.asarray(result.n_tracked)),
+            "inliers": int(np.asarray(result.n_inliers)),
+            "candidates": int(np.asarray(result.n_candidates)),
+            "promoted": int(np.asarray(result.n_promoted)),
+            "reproj_rms_px": float(np.asarray(result.reproj_rms)),
+        }
+        self.rows.append(row)
+        if self._fh:
+            import json
+
+            self._fh.write(json.dumps(row) + "\n")
+        return row
+
+    def close(self):
+        if self._fh:
+            self._fh.close()
+            self._fh = None
+
+    def summary(self) -> dict:
+        if not self.rows:
+            return {}
+        import statistics
+
+        return {
+            "frames": len(self.rows),
+            "pose_ok_rate": sum(r["pose_ok"] for r in self.rows) / len(self.rows),
+            "mean_tracked": statistics.fmean(r["tracked"] for r in self.rows),
+            "mean_inliers": statistics.fmean(r["inliers"] for r in self.rows),
+            "mean_reproj_rms_px": statistics.fmean(r["reproj_rms_px"] for r in self.rows),
+        }

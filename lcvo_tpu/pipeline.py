@@ -32,6 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from lcvo_tpu.config import VOConfig
+from lcvo_tpu.frontend.match import knn_match_ratio, mutual_match
+from lcvo_tpu.frontend.sift import sift as sift_detect
 from lcvo_tpu.core import geometry as geo
 from lcvo_tpu.core import state as st
 from lcvo_tpu.ops import epipolar, harris, pnp
@@ -143,18 +145,51 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
         cands = st.prune_candidates(cands, ~promote & (cands.age < max_cand_age))
 
         # ------ 4. re-detection of new candidates (reference :564-591) ------
+        # the three reference modes (``find_new_candidates_{shi|sift_mask|sift_sift}``,
+        # src/vo_pipeline.py:357-467), selected statically by config
         det = cfg.detector
-        pts_det, _, det_ok = harris.detect_corners(
-            image,
-            max_corners=cfg.state.max_new_per_frame,
-            quality_level=det.quality_level,
-            cells_y=det.grid_cells_y,
-            cells_x=det.grid_cells_x,
-            cells_topk=det.cells_topk,
-            method="shi",
-            window=det.window,
-            border=kltc.border,
-        )
+        mode = cfg.find_new_candidates_method
+        new_desc = new_desc_valid = None
+        if mode in ("shi-mask", "harris-mask"):
+            pts_det, _, det_ok = harris.detect_corners(
+                image,
+                max_corners=cfg.state.max_new_per_frame,
+                quality_level=det.quality_level,
+                cells_y=det.grid_cells_y,
+                cells_x=det.grid_cells_x,
+                cells_topk=det.cells_topk,
+                method=mode.split("-")[0],
+                window=det.window,
+                border=kltc.border,
+            )
+        elif mode in ("sift-mask", "sift-sift"):
+            feats = sift_detect(
+                image,
+                max_keypoints=cfg.descriptor.max_keypoints,
+                octaves=det.sift_octaves,
+                scales_per_octave=det.sift_scales_per_octave,
+                contrast_thresh=det.sift_contrast_thresh,
+                edge_thresh=det.sift_edge_thresh,
+                border=kltc.border,
+                compute_desc=(mode == "sift-sift"),
+            )
+            pts_det, det_ok = feats.pts, feats.valid
+            if mode == "sift-sift":
+                # keypoints whose descriptor matches the previous frame are old
+                # content — only unmatched ones become candidates (the intended
+                # semantics of reference :443-456; see SURVEY §2.1 stale-descriptor
+                # quirk)
+                _, matched = knn_match_ratio(
+                    feats.desc,
+                    feats.valid,
+                    state.prev_desc,
+                    state.prev_desc_valid,
+                    ratio=cfg.descriptor.ratio_thresh,
+                )
+                det_ok = det_ok & ~matched
+                new_desc, new_desc_valid = feats.desc, feats.valid
+        else:
+            raise ValueError(f"unknown find_new_candidates_method: {mode!r}")
         det_ok = harris.suppress_near_existing(
             pts_det, det_ok, tracks.P, tracks.valid, det.min_distance
         )
@@ -173,6 +208,8 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
             prev_image=image,
             prev_pyramid=pyr_new,
             health=health,
+            prev_desc=new_desc,
+            prev_desc_valid=new_desc_valid,
         )
         result = FrameResult(
             R=R,
@@ -309,10 +346,34 @@ class VisualOdometry:
         cfg = self.cfg
         imgs = [jnp.asarray(f, jnp.float32) for f in frames]
         pyrs = [build_pyramid(im, cfg.klt.levels) for im in imgs]
-        pts0, ok = self._detect0(imgs[0])
-        pts = pts0
-        for i in range(len(imgs) - 1):
-            pts, ok = self._track_pair(pyrs[i], pyrs[i + 1], pts, ok)
+        if cfg.bootstrap.init_method == "sift":
+            # reference init: SIFT detect+describe both endpoint frames, BF knn
+            # match with Lowe ratio (``src/vo_pipeline.py:69-121``)
+            det = cfg.detector
+
+            def feats_of(im):
+                return sift_detect(
+                    im,
+                    max_keypoints=cfg.descriptor.max_keypoints,
+                    octaves=det.sift_octaves,
+                    scales_per_octave=det.sift_scales_per_octave,
+                    contrast_thresh=det.sift_contrast_thresh,
+                    edge_thresh=det.sift_edge_thresh,
+                    border=cfg.klt.border,
+                )
+
+            f0 = feats_of(imgs[0])
+            f1 = feats_of(imgs[-1])
+            idx, ok = mutual_match(
+                f0.desc, f0.valid, f1.desc, f1.valid, ratio=cfg.descriptor.ratio_thresh
+            )
+            pts0 = f0.pts
+            pts = f1.pts[idx]
+        else:
+            pts0, ok = self._detect0(imgs[0])
+            pts = pts0
+            for i in range(len(imgs) - 1):
+                pts, ok = self._track_pair(pyrs[i], pyrs[i + 1], pts, ok)
         R, t, X, good, n_inl = self._two_view(self._next_key(), pts0, pts, ok)
 
         # anchor into world frame: cam0 pose = (R0, t0) (identity on first bootstrap)

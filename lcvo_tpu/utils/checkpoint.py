@@ -1,0 +1,64 @@
+"""Checkpoint / resume of the Markovian VO state.
+
+The reference has no state persistence — its only artifacts are periodic plots
+(``src/main.py:264-277``). Here the full fixed-shape state pytree (track tables,
+candidates, pose, pyramid, health, optional BA window) serializes to one ``.npz``:
+long replays resume mid-sequence, and a crashed run restarts from its last
+checkpoint (SURVEY §5 checkpoint/resume).
+
+Plain npz rather than orbax: the state is a few MB of dense arrays, single-host;
+orbax's async/multihost machinery buys nothing at this size. The on-disk format is
+path-keyed leaves, so it round-trips any pytree with stable structure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _flatten(tree) -> dict:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(str(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save_checkpoint(path: str, state, window=None, trajectory=None, frame_idx: int | None = None):
+    """Serialize VO state (+ optional BA window and host-side trajectory) to npz."""
+    payload = {f"state:{k}": v for k, v in _flatten(state).items()}
+    if window is not None:
+        payload.update({f"window:{k}": v for k, v in _flatten(window).items()})
+    if trajectory is not None and len(trajectory):
+        payload["trajectory"] = np.asarray(trajectory)
+    if frame_idx is not None:
+        payload["frame_idx_host"] = np.asarray(frame_idx)
+    np.savez_compressed(path, **payload)
+
+
+def load_checkpoint(path: str, state_template, window_template=None):
+    """Restore (state, window, trajectory, frame_idx) from npz.
+
+    Templates supply the pytree STRUCTURE (e.g. ``make_vo_state(cfg, shape)``);
+    leaves are filled from the file and must match shapes exactly.
+    """
+    data = np.load(path, allow_pickle=False)
+
+    def restore(tree, prefix):
+        leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        new_leaves = []
+        for pth, leaf in leaves_paths:
+            key = prefix + "/".join(str(p) for p in pth)
+            arr = data[key]
+            if arr.shape != tuple(np.shape(leaf)):
+                raise ValueError(f"checkpoint leaf {key}: shape {arr.shape} != template {np.shape(leaf)}")
+            new_leaves.append(jnp.asarray(arr))
+        return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    state = restore(state_template, "state:")
+    window = restore(window_template, "window:") if window_template is not None else None
+    trajectory = [p for p in data["trajectory"]] if "trajectory" in data else []
+    frame_idx = int(data["frame_idx_host"]) if "frame_idx_host" in data else None
+    return state, window, trajectory, frame_idx

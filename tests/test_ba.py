@@ -150,3 +150,32 @@ def test_window_refine_improves_noisy_map():
     err1 = np.abs(np.asarray(tracks2.X) - X).max()
     assert float(res.cost) < float(res.cost0)
     assert err1 < 0.2 * err0
+
+
+def test_sharded_ba_matches_single_device():
+    """Landmark-sharded BA over the 8-device CPU mesh must match the single-device
+    solver (the reduction over landmarks is exact, not approximate)."""
+    import jax
+    from lcvo_tpu.parallel.mesh import make_mesh
+    from lcvo_tpu.solve.ba.sharded import ba_solve_sharded
+
+    rng = np.random.default_rng(3)
+    R, t, X, obs = _make_scene(rng, W=5, K=64)
+    Wn, K = obs.shape[:2]
+    t_p = t.copy(); R_p = R.copy()
+    for w in range(2, Wn):
+        rv = rng.normal(0, 0.01, 3).astype(np.float32)
+        R_p[w] = np.asarray(geo.rodrigues(jnp.asarray(rv))) @ R[w]
+        t_p[w] = t[w] + rng.normal(0, 0.05, 3)
+    X_p = X + rng.normal(0, 0.1, X.shape).astype(np.float32)
+    prob = BAProblem(R=jnp.asarray(R_p), t=jnp.asarray(t_p), X=jnp.asarray(X_p),
+                     obs=jnp.asarray(obs), mask=jnp.ones((Wn, K), bool))
+
+    res1 = ba_solve(prob, iters=6, n_fix=2)
+    mesh = make_mesh(8, axis_names=("data",))
+    res8 = ba_solve_sharded(prob, mesh, axis="data", iters=6, n_fix=2)
+
+    assert float(res8.cost) < 1e-3 * float(res8.cost0)
+    np.testing.assert_allclose(np.asarray(res1.R), np.asarray(res8.R), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res1.t), np.asarray(res8.t), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res1.X), np.asarray(res8.X), atol=1e-3)

@@ -77,3 +77,41 @@ def test_full_run_with_ba(seq):
     err = ate_rmse(est, gt)
     assert err < 0.5, f"ATE with BA {err:.3f} m too large"
     assert bool(np.asarray(vo.window.kf_valid).any())
+
+
+def test_full_run_sift_mask_mode(seq):
+    """'sift-mask' candidate mode (reference src/vo_pipeline.py:392-425)."""
+    cfg = small_cfg(find_new_candidates_method="sift-mask",
+                    descriptor={"max_keypoints": 256})
+    vo = VisualOdometry(cfg, seq.K)
+    vo.run(seq.frames(), n_frames=40)
+    est = np.asarray(vo.trajectory)
+    gt = seq.gt_positions()[cfg.bootstrap.frame_gap : cfg.bootstrap.frame_gap + len(est)]
+    assert ate_rmse(est, gt) < 0.6
+
+
+def test_full_run_sift_sift_mode(seq):
+    """'sift-sift' candidate mode — the reference's selected configuration
+    (report §3.1): per-frame SIFT + descriptor matching against the previous
+    frame filters already-seen keypoints."""
+    cfg = small_cfg(find_new_candidates_method="sift-sift",
+                    descriptor={"max_keypoints": 256})
+    vo = VisualOdometry(cfg, seq.K)
+    vo.run(seq.frames(), n_frames=40)
+    est = np.asarray(vo.trajectory)
+    gt = seq.gt_positions()[cfg.bootstrap.frame_gap : cfg.bootstrap.frame_gap + len(est)]
+    assert ate_rmse(est, gt) < 0.6
+    assert vo.state.prev_desc is not None
+
+
+def test_sift_bootstrap(seq):
+    """Descriptor-matching two-view init (reference src/vo_pipeline.py:69-121)."""
+    cfg = small_cfg(bootstrap={"frame_gap": 4, "init_method": "sift"},
+                    descriptor={"max_keypoints": 384})
+    vo = VisualOdometry(cfg, seq.K)
+    frames = [seq.frame(i) for i in range(cfg.bootstrap.frame_gap + 1)]
+    n_inl = vo.bootstrap(frames)
+    assert n_inl > 20
+    assert int(vo.state.tracks.count()) > 20
+    X = np.asarray(vo.state.tracks.X)[np.asarray(vo.state.tracks.valid)]
+    assert np.all(X[:, 2] > 0)
