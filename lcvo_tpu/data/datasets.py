@@ -23,6 +23,12 @@ import numpy as np
 
 
 def _imread_gray(path: str) -> np.ndarray:
+    if path.endswith(".png"):
+        from lcvo_tpu.data import native_loader
+
+        out = native_loader.decode_png(path)
+        if out is not None:
+            return out
     from PIL import Image
 
     with Image.open(path) as im:

@@ -41,9 +41,11 @@ def eight_point(x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray | None = None):
     A = (h2[..., :, None] * h1[..., None, :]).reshape(*h1.shape[:-1], 9)
     if w is not None:
         A = A * w[..., None]
-    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
-    _, V = jnp.linalg.eigh(AtA)
-    e = V[..., :, 0]  # smallest eigenvector
+    # smallest right singular vector of A directly — eigh(A^T A) squares the
+    # condition number, which in f32 costs ~degrees of pose accuracy at
+    # sub-pixel noise levels
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
+    e = Vt[..., -1, :]
     return e.reshape(*e.shape[:-1], 3, 3)
 
 
@@ -97,6 +99,56 @@ def recover_pose(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray, valid: jnp.nd
     return R4[best], t4[best], counts[best]
 
 
+def _sampson_residuals(E, h1, h2):
+    """Signed first-order geometric (Sampson) residuals, (N,)."""
+    Eh1 = jnp.einsum("ij,nj->ni", E, h1)
+    Eth2 = jnp.einsum("ji,nj->ni", E, h2)
+    s = jnp.einsum("ni,ni->n", h2, Eh1)
+    g = Eh1[:, 0] ** 2 + Eh1[:, 1] ** 2 + Eth2[:, 0] ** 2 + Eth2[:, 1] ** 2
+    return s / jnp.sqrt(jnp.maximum(g, 1e-12))
+
+
+def refine_pose_sampson(R, t, x1, x2, w, iters: int = 8, damping: float = 1e-8):
+    """Gauss-Newton polish of a relative pose on the essential manifold.
+
+    Minimizes weighted Sampson error over the 5 dof (rotation tangent + unit-
+    translation tangent) — the batched equivalent of the LM refinement OpenCV runs
+    after RANSAC; the linear 8-point refit alone leaves ~10x more direction error
+    at sub-pixel noise in f32. Jacobians come from forward-mode autodiff of the
+    residual vector (5 JVPs — tiny).
+    """
+    h1 = _homogeneous(x1)
+    h2 = _homogeneous(x2)
+
+    def step(_, Rt):
+        R, t = Rt
+        t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+        # orthonormal basis of the tangent plane at t
+        a = jnp.where(jnp.abs(t[0]) < 0.9, jnp.asarray([1.0, 0, 0], t.dtype), jnp.asarray([0.0, 1, 0], t.dtype))
+        b1 = jnp.cross(t, a)
+        b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+        b2 = jnp.cross(t, b1)
+
+        def residuals(p):
+            Rp = geo.rodrigues(p[:3]) @ R
+            tp = t + b1 * p[3] + b2 * p[4]
+            tp = tp / jnp.maximum(jnp.linalg.norm(tp), 1e-12)
+            E = geo.hat(tp) @ Rp
+            return w * _sampson_residuals(E, h1, h2)
+
+        p0 = jnp.zeros((5,), R.dtype)
+        r = residuals(p0)
+        J = jax.jacfwd(residuals)(p0)  # (N, 5)
+        H = J.T @ J + damping * jnp.eye(5, dtype=R.dtype)
+        delta = -jnp.linalg.solve(H, J.T @ r)
+        Rn = geo.rodrigues(delta[:3]) @ R
+        tn = t + b1 * delta[3] + b2 * delta[4]
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+        return Rn, tn
+
+    return jax.lax.fori_loop(0, iters, step, (R, t))
+
+
 @partial(jax.jit, static_argnames=("n_hyp",))
 def essential_ransac(
     key,
@@ -125,10 +177,13 @@ def essential_ransac(
     E_best = E_h[best]
     inl = (geo.sampson_error(E_best, h1, h2) < thresh * thresh) & valid
 
-    # final least-squares refit on all inliers (weighted), then re-project
-    E_ref = project_to_essential(eight_point(x1, x2, w=inl.astype(x1.dtype)))
-    err_ref = geo.sampson_error(E_ref, h1, h2)
-    inl_ref = (err_ref < thresh * thresh) & valid
+    # nonlinear polish on the inliers: decompose the best hypothesis to (R, t)
+    # by cheirality, Gauss-Newton the 5-dof pose on the Sampson objective (the
+    # equivalent of OpenCV's post-RANSAC LM), and rebuild E
+    R0, t0, _ = recover_pose(E_best, x1, x2, inl)
+    Rr, tr = refine_pose_sampson(R0, t0, x1, x2, inl.astype(x1.dtype))
+    E_ref = geo.hat(tr) @ Rr
+    inl_ref = (geo.sampson_error(E_ref, h1, h2) < thresh * thresh) & valid
     # keep the refit only if it didn't lose inliers (degenerate refits can)
     use_ref = jnp.sum(inl_ref) >= jnp.sum(inl)
     E_out = jnp.where(use_ref, E_ref, E_best)
