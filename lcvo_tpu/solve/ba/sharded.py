@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lcvo_tpu.solve.ba.schur import (
@@ -62,7 +62,7 @@ def ba_solve_sharded(
         mesh=mesh,
         in_specs=(pose_spec, pose_spec, lm_spec, obs_spec, obs_spec),
         out_specs=(pose_spec, pose_spec, lm_spec, pose_spec, pose_spec),
-        check_rep=False,
+        check_vma=False,
     )
     def run(R, t, X, obs, mask):
         def cost_of(R, t, X):
