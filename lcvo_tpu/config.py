@@ -77,6 +77,9 @@ class RansacConfig:
 
     e_hypotheses: int = 512        # essential-matrix hypothesis count
     e_thresh_px: float = 1.0       # Sampson threshold (reference :156)
+    # minimal solver for E: "eight_point" (batched DLT) or "five_point" (Nistér,
+    # parity with cv2.findEssentialMat's 5-pt; ~10 hypotheses per minimal sample)
+    e_solver: str = "eight_point"
     pnp_hypotheses: int = 512      # P3P hypothesis count
     pnp_thresh_px: float = 2.0     # reprojection threshold (reference :238)
     refine_iters: int = 8          # Gauss-Newton pose-polish iterations

@@ -149,7 +149,7 @@ def refine_pose_sampson(R, t, x1, x2, w, iters: int = 8, damping: float = 1e-8):
     return jax.lax.fori_loop(0, iters, step, (R, t))
 
 
-@partial(jax.jit, static_argnames=("n_hyp",))
+@partial(jax.jit, static_argnames=("n_hyp", "solver"))
 def essential_ransac(
     key,
     x1: jnp.ndarray,
@@ -157,21 +157,36 @@ def essential_ransac(
     valid: jnp.ndarray,
     thresh: float,
     n_hyp: int = 512,
+    solver: str = "eight_point",
 ):
     """Robust essential matrix from normalized correspondences.
 
     Returns (E (3,3), inliers (N,) bool, n_inliers). ``thresh`` is the Sampson
-    distance threshold in normalized units (pixel_thresh / fx).
+    distance threshold in normalized units (pixel_thresh / fx). ``solver`` selects
+    the minimal solver: "eight_point" (batched DLT, the default easy-mode per
+    BASELINE.json) or "five_point" (Nistér — exact parity with the reference's
+    ``cv2.findEssentialMat``; each sample yields up to 10 hypotheses).
     """
     N = x1.shape[0]
-    idx = ransac.sample_minimal_sets(key, N, valid, n_hyp, 8)  # (H, 8)
-    s1 = x1[idx]  # (H, 8, 2)
-    s2 = x2[idx]
-    E_h = eight_point(s1, s2)                       # (H, 3, 3)
-    E_h = project_to_essential(E_h)
     h1 = _homogeneous(x1)
     h2 = _homogeneous(x2)
-    err = geo.sampson_error(E_h, h1, h2)            # (H, N)
+    if solver == "five_point":
+        from lcvo_tpu.ops.five_point import five_point
+
+        n_samp = max(n_hyp // 10, 1)
+        idx = ransac.sample_minimal_sets(key, N, valid, n_samp, 5)   # (S, 5)
+        E_h, hyp_ok = five_point(x1[idx], x2[idx])                   # (S, 10, 3, 3)
+        E_h = E_h.reshape(-1, 3, 3)
+        hyp_ok = hyp_ok.reshape(-1)
+        err = geo.sampson_error(E_h, h1, h2)                          # (S*10, N)
+        err = jnp.where(hyp_ok[:, None], err, jnp.inf)
+    else:
+        idx = ransac.sample_minimal_sets(key, N, valid, n_hyp, 8)  # (H, 8)
+        s1 = x1[idx]  # (H, 8, 2)
+        s2 = x2[idx]
+        E_h = eight_point(s1, s2)                       # (H, 3, 3)
+        E_h = project_to_essential(E_h)
+        err = geo.sampson_error(E_h, h1, h2)            # (H, N)
     score, counts = ransac.msac_score(err, valid, thresh * thresh)
     best = ransac.best_hypothesis(score)
     E_best = E_h[best]

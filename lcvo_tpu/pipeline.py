@@ -285,7 +285,13 @@ def make_bootstrap_fns(cfg: VOConfig, K: np.ndarray):
         x0 = _normalize(pts0, Kj)
         x1 = _normalize(pts1, Kj)
         E, inl, n_inl = epipolar.essential_ransac(
-            key, x0, x1, valid, thresh=cfg.ransac.e_thresh_px / fx, n_hyp=cfg.ransac.e_hypotheses
+            key,
+            x0,
+            x1,
+            valid,
+            thresh=cfg.ransac.e_thresh_px / fx,
+            n_hyp=cfg.ransac.e_hypotheses,
+            solver=cfg.ransac.e_solver,
         )
         R, t, _ = epipolar.recover_pose(E, x0, x1, inl)
         X = geo.triangulate_linear(jnp.eye(3), jnp.zeros(3), R, t, x0, x1)
