@@ -63,3 +63,41 @@ def mutual_match(
     back = idx_ba[idx_ab]
     ok = ok_ab & ok_ba[idx_ab] & (back == jnp.arange(desc_a.shape[0]))
     return idx_ab, ok
+
+
+def knn_match_ratio_sharded(
+    mesh,
+    desc_q: jnp.ndarray,
+    valid_q: jnp.ndarray,
+    desc_t: jnp.ndarray,
+    valid_t: jnp.ndarray,
+    ratio: float = 0.8,
+    axis: str = "data",
+):
+    """Row-sharded brute-force matcher (SURVEY §2.3, TP row): the (Nq, Nt) distance
+    matrix is partitioned over the mesh's query axis — each device matmuls its query
+    block against the replicated target set and reduces top-2 locally; results
+    all-gather back. No cross-device reduction is needed because the target side is
+    replicated; this is the tensor-parallel layout for matching a sharded track
+    table against a new frame's descriptors.
+
+    Nq must divide the mesh axis size. Returns the same (idx, ok) as
+    :func:`knn_match_ratio`.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    assert desc_q.shape[0] % n_dev == 0, (
+        f"query count {desc_q.shape[0]} must divide mesh axis {n_dev}"
+    )
+
+    def local(dq, vq, dt, vt):
+        return knn_match_ratio(dq, vq, dt, vt, ratio)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(axis)),
+    )(desc_q, valid_q, desc_t, valid_t)
