@@ -7,6 +7,9 @@ frame budget goes. Not part of the headline bench — a dev tool.
 from __future__ import annotations
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -186,8 +186,13 @@ def triangulate_linear(R1, t1, R2, t2, x1, x2):
     ``cv2.triangulatePoints`` (reference ``src/vo_pipeline.py:172,666``), batched over
     all points at once instead of the reference's per-point Python loop (``:658-673``).
 
-    Solves via normal equations on the 4x4 system with an eigen-decomposition (eigh),
-    which XLA batches cleanly.
+    Solves the inhomogeneous normal equations (BᵀB) X = −Bᵀb (A = [B | b]) with a
+    closed-form 3x3 adjugate inverse — pure elementwise math that XLA fuses onto the
+    VPU. (A batched 4x4 ``eigh`` here cost ~5 ms/frame on v5e — the eigensolver
+    dominates the candidate-promotion stage; the closed-form solve is ~free.)
+    Zero-parallax/at-infinity points produce a near-singular system and map to huge
+    depths, which downstream depth/reprojection gates reject — the same failure
+    mode as the homogeneous DLT's vanishing last coordinate.
     """
     P1 = jnp.concatenate([R1, t1[..., None]], axis=-1)  # (3,4)
     P2 = jnp.concatenate([R2, t2[..., None]], axis=-1)
@@ -201,13 +206,16 @@ def triangulate_linear(R1, t1, R2, t2, x1, x2):
     r0a, r1a = rows(P1, x1)
     r0b, r1b = rows(P2, x2)
     A = jnp.stack([r0a, r1a, r0b, r1b], axis=-2)  # (N, 4, 4)
-    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
-    # smallest eigenvector of symmetric 4x4
-    w, V = jnp.linalg.eigh(AtA)
-    Xh = V[..., :, 0]
-    w_last = Xh[..., 3]
-    scale = jnp.where(jnp.abs(w_last) > 1e-10, w_last, 1e-10)
-    return Xh[..., :3] / scale[..., None]
+    B = A[..., :3]
+    b = A[..., 3]
+    H = jnp.einsum("...ki,...kj->...ij", B, B)            # (N, 3, 3) symmetric
+    g = -jnp.einsum("...ki,...k->...i", B, b)             # (N, 3)
+    h0, h1, h2 = H[..., 0, :], H[..., 1, :], H[..., 2, :]
+    c12 = jnp.cross(h1, h2)
+    det = jnp.sum(h0 * c12, axis=-1)
+    adj = jnp.stack([c12, jnp.cross(h2, h0), jnp.cross(h0, h1)], axis=-1)  # adj(H)ᵀ cols
+    safe_det = jnp.where(jnp.abs(det) > 1e-12, det, jnp.where(det < 0, -1e-12, 1e-12))
+    return jnp.einsum("...ij,...j->...i", adj, g) / safe_det[..., None]
 
 
 def bearing_angle(R1, t1, R2, t2, uv1, uv2, K):
