@@ -68,15 +68,17 @@ def main():
         state, out = chunk_fn(state, batch, keys)
         return state, out
 
-    # warmup: compile
+    # warmup: compile. NOTE: the axon tunnel's block_until_ready does NOT wait for
+    # remote completion — a host read of a value dependent on the whole chain is the
+    # only reliable fence, so every timing below ends with a device_get.
     state, out = run_chunk(vo.state)
-    jax.block_until_ready(out)
+    _ = float(state.frame_idx)
 
     t0 = time.perf_counter()
     n_chunks = 4
     for _ in range(n_chunks):
         state, out = run_chunk(state)
-    jax.block_until_ready(out)
+    _ = float(state.frame_idx)  # host read: fences the dependent chunk chain
     dt = time.perf_counter() - t0
 
     fps = n_chunks * chunk / dt

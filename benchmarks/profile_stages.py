@@ -29,13 +29,20 @@ from lcvo_tpu.ops.klt import pyramidal_klt
 from lcvo_tpu.ops.pyramid import build_pyramid
 
 
+def _fence(out):
+    # axon tunnel: block_until_ready does not wait for remote completion — a host
+    # read of an output leaf is the only reliable fence
+    leaf = jax.tree_util.tree_leaves(out)[-1]
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+
+
 def timeit(name, fn, *args, n=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     dt = (time.perf_counter() - t0) / n
     print(f"{name:30s} {dt*1e3:8.2f} ms")
     return dt
