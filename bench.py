@@ -63,22 +63,26 @@ def main():
     chunk_fn = vo.make_chunk_step(chunk)
     batch = jnp.asarray(np.stack(frames[gap + 1 : gap + 1 + chunk]), jnp.float32)
 
-    def run_chunk(state):
+    def run_chunk(carry):
         keys = jax.random.split(vo._next_key(), chunk)
-        state, out = chunk_fn(state, batch, keys)
-        return state, out
+        carry, out = chunk_fn(carry, batch, keys)
+        return carry, out
+
+    def fence(carry):
+        st_ = carry if hasattr(carry, "frame_idx") else carry[0]
+        return float(st_.frame_idx)
 
     # warmup: compile. NOTE: the axon tunnel's block_until_ready does NOT wait for
     # remote completion — a host read of a value dependent on the whole chain is the
     # only reliable fence, so every timing below ends with a device_get.
-    state, out = run_chunk(vo.state)
-    _ = float(state.frame_idx)
+    carry, out = run_chunk(vo.chunk_carry())
+    fence(carry)
 
     t0 = time.perf_counter()
     n_chunks = 4
     for _ in range(n_chunks):
-        state, out = run_chunk(state)
-    _ = float(state.frame_idx)  # host read: fences the dependent chunk chain
+        carry, out = run_chunk(carry)
+    fence(carry)  # host read: fences the dependent chunk chain
     dt = time.perf_counter() - t0
 
     fps = n_chunks * chunk / dt

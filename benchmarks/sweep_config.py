@@ -38,16 +38,20 @@ def main():
     chunk_fn = vo.make_chunk_step(chunk)
     batch = jnp.asarray(np.stack(frames[gap + 1 : gap + 1 + chunk]), jnp.float32)
 
-    def run_chunk(state):
+    def run_chunk(carry):
         keys = jax.random.split(vo._next_key(), chunk)
-        return chunk_fn(state, batch, keys)
+        return chunk_fn(carry, batch, keys)
 
-    state, out = run_chunk(vo.state)
-    _ = float(state.frame_idx)  # axon: only a host read fences remote completion
+    def fence(carry):
+        st_ = carry if hasattr(carry, "frame_idx") else carry[0]
+        return float(st_.frame_idx)  # axon: only a host read fences remote completion
+
+    carry, out = run_chunk(vo.chunk_carry())
+    fence(carry)
     t0 = time.perf_counter()
     for _ in range(4):
-        state, out = run_chunk(state)
-    _ = float(state.frame_idx)
+        carry, out = run_chunk(carry)
+    fence(carry)
     fps = 4 * chunk / (time.perf_counter() - t0)
     print(json.dumps({"overrides": overrides, "fps": round(fps, 2)}))
 

@@ -454,16 +454,61 @@ class VisualOdometry:
         """
         fn = make_process_frame(self.cfg, jnp.asarray(self.K, jnp.float32))
 
+        if self.window is None:
+            @jax.jit
+            def chunk_fn(state, frames, keys):
+                def body(s, xk):
+                    img, k = xk
+                    s2, res = fn(s, img, k)
+                    return s2, (res.R, res.t, res.pose_ok, res.n_inliers)
+
+                return jax.lax.scan(body, state, (frames, keys))
+
+            return chunk_fn
+
+        # BA-enabled streaming: the keyframe push + Schur-complement window refine
+        # run INSIDE the scanned step under lax.cond — the whole pipeline including
+        # BA is one compiled XLA program (BASELINE config 3 in throughput mode).
+        # Cadence and pre-refine pose recording match the per-frame path (step()).
+        win_mod = self._win_mod
+        Kj = jnp.asarray(self.K, jnp.float32)
+        ba = self.cfg.ba
+        huber_n = ba.huber_px / float(self.K[0, 0])
+        n_fix = min(2, ba.window - 1)
+
         @jax.jit
-        def chunk_fn(state, frames, keys):
-            def body(s, xk):
+        def chunk_fn_ba(carry, frames, keys):
+            def body(c, xk):
+                s, w = c
                 img, k = xk
                 s2, res = fn(s, img, k)
-                return s2, (res.R, res.t, res.pose_ok, res.n_inliers)
 
-            return jax.lax.scan(body, state, (frames, keys))
+                def do_ba(sw):
+                    s2, w = sw
+                    w2 = win_mod.push(w, s2.tracks, s2.R, s2.t)
+                    w2, tracks, R, t, _ = win_mod.refine_window(
+                        w2, s2.tracks, Kj, iters=ba.gn_iters, n_fix=n_fix, huber=huber_n
+                    )
+                    return s2._replace(tracks=tracks, R=R, t=t), w2
 
-        return chunk_fn
+                is_kf = (s2.frame_idx % ba.keyframe_every) == 0
+                c2 = jax.lax.cond(is_kf, do_ba, lambda sw: sw, (s2, w))
+                return c2, (res.R, res.t, res.pose_ok, res.n_inliers)
+
+            return jax.lax.scan(body, carry, (frames, keys))
+
+        return chunk_fn_ba
+
+    def chunk_carry(self):
+        """Scan carry for :meth:`make_chunk_step`: the VO state, plus the BA window
+        when BA is enabled."""
+        return self.state if self.window is None else (self.state, self.window)
+
+    def set_chunk_carry(self, carry):
+        if self.window is None:
+            self.state = carry
+        else:
+            self.state, self.window = carry
 
     def run_chunked(self, frames: np.ndarray, chunk: int = 16):
         """Replay a whole sequence in device-resident chunks (bootstrap first).
@@ -480,7 +525,8 @@ class VisualOdometry:
         while i + chunk <= T:
             keys = jax.random.split(self._next_key(), chunk)
             batch = jnp.asarray(frames[i : i + chunk], jnp.float32)
-            self.state, (Rs, ts, ok, ninl) = chunk_fn(self.state, batch, keys)
+            carry, (Rs, ts, ok, ninl) = chunk_fn(self.chunk_carry(), batch, keys)
+            self.set_chunk_carry(carry)
             Rs = np.asarray(Rs)
             ts = np.asarray(ts)
             for j in range(chunk):

@@ -115,3 +115,28 @@ def test_sift_bootstrap(seq):
     assert int(vo.state.tracks.count()) > 20
     X = np.asarray(vo.state.tracks.X)[np.asarray(vo.state.tracks.valid)]
     assert np.all(X[:, 2] > 0)
+
+
+def test_chunked_ba_matches_per_frame(seq):
+    """BA inside the compiled chunked scan (lax.cond keyframe refine) must produce
+    the same trajectory as the per-frame driver path running the same cadence."""
+    over = dict(ba={"enabled": True, "window": 6, "keyframe_every": 3, "gn_iters": 4})
+    frames = np.stack([seq.frame(i) for i in range(40)])
+
+    cfg = small_cfg(**over)
+    vo_a = VisualOdometry(cfg, seq.K)
+    vo_a.run(iter(list(frames)), n_frames=40)
+
+    vo_b = VisualOdometry(cfg, seq.K)
+    vo_b.run_chunked(frames, chunk=8)
+
+    # run() records one extra pose at bootstrap time; run_chunked starts at gap+1
+    est_a = np.asarray(vo_a.trajectory)[1:]
+    est_b = np.asarray(vo_b.trajectory)
+    n = min(len(est_a), len(est_b))
+    assert n >= 30
+    # same compiled kernels, same cadence; RNG key streams are consumed differently
+    # (per-frame vs per-chunk splits), so require trajectory agreement, not bitwise
+    delta = np.linalg.norm(est_a[:n] - est_b[:n], axis=1)
+    assert np.median(delta) < 0.1, f"chunked-BA trajectory diverged: median {np.median(delta):.3f} m"
+    assert bool(np.asarray(vo_b.window.kf_valid).any())
