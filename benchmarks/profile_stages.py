@@ -131,5 +131,64 @@ def main():
     timeit("FULL process_frame", fn, state, img1, key)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--sift" not in sys.argv:
     main()
+
+
+def main_sift():
+    """Per-stage timing of the sift-sift candidate path (the reference's selected mode)."""
+    W, H = 1240, 376
+    cfg = load_config(
+        overrides={"image_width": W, "image_height": H, "find_new_candidates_method": "sift-sift"}
+    )
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+
+    from lcvo_tpu.frontend import sift as sf
+    from lcvo_tpu.frontend import match as mt
+
+    d = cfg.detector
+    n_feat = cfg.state.max_new_per_frame
+    f_ss = jax.jit(lambda im: sf.build_scale_space(im, d.sift_octaves, d.sift_scales_per_octave))
+    timeit("sift scale space", f_ss, img)
+
+    f_det = jax.jit(
+        lambda im: sf.sift(
+            im, max_keypoints=n_feat, octaves=d.sift_octaves, scales_per_octave=d.sift_scales_per_octave,
+            contrast_thresh=d.sift_contrast_thresh, edge_thresh=d.sift_edge_thresh,
+            compute_desc=False,
+        )
+    )
+    timeit("sift detect only", f_det, img)
+
+    f_full = jax.jit(
+        lambda im: sf.sift(
+            im, max_keypoints=n_feat, octaves=d.sift_octaves, scales_per_octave=d.sift_scales_per_octave,
+            contrast_thresh=d.sift_contrast_thresh, edge_thresh=d.sift_edge_thresh,
+            compute_desc=True,
+        )
+    )
+    feats = f_full(img)
+    timeit("sift detect+describe", f_full, img)
+
+    da = feats.desc
+    db = jnp.roll(da, 3, axis=0)
+    va = feats.valid
+    f_match = jax.jit(lambda a, b, va, vb: mt.knn_match_ratio(a, b, va, vb, ratio=0.8))
+    timeit("bf match+ratio", f_match, da, db, va, va)
+
+    from lcvo_tpu.core import state as st
+    from lcvo_tpu.pipeline import make_process_frame
+
+    K = np.array([[718.0, 0, W / 2], [0, 718.0, H / 2], [0, 0, 1]], np.float32)
+    fn = jax.jit(make_process_frame(cfg, K))
+    state = st.make_vo_state(cfg, (H, W))
+    from lcvo_tpu.ops.pyramid import build_pyramid as bp
+    state = state._replace(prev_image=img, prev_pyramid=bp(img, cfg.klt.levels))
+    key = jax.random.PRNGKey(0)
+    timeit("FULL process_frame sift-sift", fn, state, img, key)
+
+
+if __name__ == "__main__" and "--sift" in sys.argv:
+    main_sift()
+    sys.exit(0)
