@@ -43,15 +43,15 @@ f_full = jax.jit(lambda a, b, p: pyramidal_klt(a, b, p, window=WIN, iters=ITERS)
 timeit("pyramidal_klt L=3 it=10", f_full, pyr0, pyr1, pts)
 
 f_l0 = jax.jit(
-    lambda a, b, p: _track_level(a, b, p, jnp.zeros_like(p), WIN, ITERS)
+    lambda a, b, p: _track_level(a, b, p, jnp.zeros_like(p), WIN, ITERS, 0.01)
 )
 timeit("_track_level level0 only it=10", f_l0, img0, img1, pts)
 timeit("_track_level level2 only it=10",
-       jax.jit(lambda a, b, p: _track_level(a, b, p, jnp.zeros_like(p), WIN, ITERS)),
+       jax.jit(lambda a, b, p: _track_level(a, b, p, jnp.zeros_like(p), WIN, ITERS, 0.01)),
        pyr0[2], pyr1[2], pts * 0.25)
 
-f_l0_1 = jax.jit(lambda a, b, p: _track_level(a, b, p, jnp.zeros_like(p), WIN, 1))
+f_l0_1 = jax.jit(lambda a, b, p: _track_level(a, b, p, jnp.zeros_like(p), WIN, 1, 0.01))
 timeit("_track_level level0 it=1", f_l0_1, img0, img1, pts)
 
-f_l0_0 = jax.jit(lambda a, b, p: _track_level(a, b, p, jnp.zeros_like(p), WIN, 0))
+f_l0_0 = jax.jit(lambda a, b, p: _track_level(a, b, p, jnp.zeros_like(p), WIN, 0, 0.01))
 timeit("_track_level level0 it=0 (template only)", f_l0_0, img0, img1, pts)

@@ -28,6 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunked", action="store_true", help="throughput mode: scan frames in device-resident chunks")
     p.add_argument("--out", default="runs/latest", help="output directory")
     p.add_argument("--viz-every", type=int, default=0, help="dump a dashboard frame every N frames (0 = off)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save a resumable checkpoint every N frames (0 = off)")
+    p.add_argument("--resume", default=None, metavar="PATH",
+                   help="resume from a checkpoint saved by --checkpoint-every")
+    p.add_argument("--export-video", action="store_true",
+                   help="stitch dumped dashboard frames into an mp4 at the end")
     return p
 
 
@@ -63,7 +69,11 @@ def main(argv=None) -> dict:
     os.makedirs(args.out, exist_ok=True)
     vo = VisualOdometry(cfg, ds.K)
     metrics = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
-    dash = Dashboard(ds.K) if args.viz_every else None
+    # cfg.animation: live per-frame dashboard (the reference's cv2-window stream,
+    # ``src/visual.py:112-118``, ``src/main.py:286-288``); --viz-every dumps PNGs
+    viz_every = args.viz_every or (1 if cfg.animation else 0)
+    dash = Dashboard(ds.K) if viz_every else None
+    ckpt_path = os.path.join(args.out, "checkpoint.npz")
 
     t0 = time.perf_counter()
     if args.chunked:
@@ -72,11 +82,29 @@ def main(argv=None) -> dict:
     else:
         def on_frame(i, res):
             metrics.log_frame(i, res)
-            if dash is not None and i % args.viz_every == 0:
+            if cfg.debug:
+                # the reference's per-frame debug dump (``src/vo_pipeline.py:734-746``)
+                print(f"---------- frame {i} ---------- tracked={int(res.n_tracked)} "
+                      f"inliers={int(res.n_inliers)} cands={int(res.n_candidates)} "
+                      f"promoted={int(res.n_promoted)} rms={float(res.reproj_rms):.2f}")
+            if dash is not None and i % viz_every == 0:
                 dash.update(np.asarray(vo.state.prev_image), vo.state, res)
-                dash.render(os.path.join(args.out, f"dash_{i:06d}.png"))
+                dash.render(os.path.join(args.out, f"dash_{i:06d}.png"), show=cfg.animation)
+            if cfg.visualization and i and i % 200 == 0:
+                # periodic trajectory plot (reference ``src/main.py:264-277``)
+                plot_trajectory(np.asarray(vo.trajectory), ds.gt_positions(),
+                                os.path.join(args.out, f"trajectory_{i:06d}.png"),
+                                title=f"{cfg.dataset} @ frame {i}")
 
-        vo.run(Prefetcher(ds, depth=cfg.runtime.prefetch_depth), n_frames, on_frame=on_frame)
+        if args.resume:
+            start = vo.resume(args.resume)
+            vo.run_continue((ds.frame(i) for i in range(start, n_frames)), n_frames, start,
+                            on_frame=on_frame, checkpoint_every=args.checkpoint_every,
+                            checkpoint_path=ckpt_path)
+        else:
+            vo.run(Prefetcher(ds, depth=cfg.runtime.prefetch_depth), n_frames,
+                   on_frame=on_frame, checkpoint_every=args.checkpoint_every,
+                   checkpoint_path=ckpt_path)
     wall = time.perf_counter() - t0
 
     est = np.asarray(vo.trajectory)
@@ -102,6 +130,11 @@ def main(argv=None) -> dict:
                         title=f"{cfg.dataset}: ATE {summary.get('ate_rmse_m')} m")
     else:
         plot_trajectory(est, None, os.path.join(args.out, "trajectory.png"), title=cfg.dataset)
+
+    if args.export_video and dash is not None:
+        from lcvo_tpu.viz import export_video
+
+        summary["video"] = str(export_video(args.out, os.path.join(args.out, "run.mp4")))
 
     metrics.close()
     print(json.dumps(summary))

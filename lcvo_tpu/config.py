@@ -64,7 +64,9 @@ class KLTConfig:
     window: int = 15               # odd; patch is window x window
     levels: int = 3                # pyramid levels (level 0 = full res)
     iters: int = 6                 # fixed iteration count (no data-dependent exit)
-    eps: float = 0.01              # convergence epsilon (used for masking only)
+    eps: float = 0.01              # convergence epsilon: per-track updates smaller
+    #                                than this (level px) freeze — OpenCV's criteria
+    #                                eps as a mask instead of an early exit
     max_residual: float = 12.0     # mean |I_t - I_{t+1}| over patch to keep a track
     max_displacement: float = 60.0 # tracks moving further than this are dropped
     border: int = 12               # tracks within this many px of border are dropped
@@ -100,6 +102,7 @@ class TriangulationConfig:
     max_depth: float = 120.0       # landmarks further than this are rejected
     min_depth: float = 1.0
     max_reproj_px: float = 3.0     # post-triangulation reprojection gate
+    max_candidate_age: int = 90    # candidates older than this (frames) are dropped
 
 
 @dataclass(frozen=True)
@@ -129,10 +132,12 @@ class BAConfig:
 class RuntimeConfig:
     """Mesh / device-runtime knobs."""
 
-    mesh_shape: tuple = ()         # e.g. (2, 4) for ('host','chip'); () = single device
-    mesh_axes: tuple = ("host", "chip")
-    dtype: str = "float32"         # compute dtype for image ops
-    donate_state: bool = True
+    mesh_shape: tuple = ()         # e.g. (2, 4) for ('host','chip'); () = all devices
+    #                                on one axis (see parallel.mesh.mesh_from_config)
+    mesh_axes: tuple = ("data",)   # mesh axis names; first axis shards streams
+    dtype: str = "float32"         # pyramid/KLT compute dtype ('float32'|'bfloat16';
+    #                                bf16 halves HBM traffic, costs subpixel precision)
+    donate_state: bool = True      # donate the state buffer to the jitted step
     prefetch_depth: int = 2        # frames in flight host->device
 
 

@@ -182,8 +182,9 @@ def make_vo_state(cfg, image_shape) -> VOState:
     """Fresh (pre-bootstrap) state with empty tables."""
     H, W = image_shape
     levels = cfg.klt.levels
+    pyr_dtype = jnp.dtype(cfg.runtime.dtype)
     pyr = tuple(
-        jnp.zeros((H >> l, W >> l), jnp.float32) for l in range(levels)
+        jnp.zeros((H >> l, W >> l), pyr_dtype) for l in range(levels)
     )
     sift_sift = cfg.find_new_candidates_method == "sift-sift"
     D = cfg.descriptor.max_keypoints

@@ -93,7 +93,8 @@ def malaga(root: str) -> SequenceDataset:
     gps_path = os.path.join(root, "malaga-urban-dataset-extract-07_all-sensors_GPS.txt")
     gt = None
     if os.path.exists(gps_path):
-        g = np.loadtxt(gps_path)
+        # real Malaga GPS logs carry a '%'-prefixed header line
+        g = np.loadtxt(gps_path, comments="%")
         gt = np.stack([g[:, 8], np.zeros(len(g)), g[:, 9]], axis=-1)
     K = np.array(
         [[621.18428, 0, 404.0076], [0, 621.18428, 309.05989], [0, 0, 1]], np.float64

@@ -92,6 +92,27 @@ def trajectory_forward(n_frames: int, speed: float = 0.35, yaw_amp: float = 0.15
     return np.stack(Rs), np.stack(ts)
 
 
+def trajectory_turn(n_frames: int, speed: float = 0.35, turn_start: int = 20,
+                    turn_frames: int = 15, turn_deg: float = 60.0):
+    """Forward trajectory with one sharp yaw turn (stress case: large per-frame
+    rotation, fast appearance change on the walls). ``turn_deg`` total over
+    ``turn_frames`` frames (e.g. 60 deg / 15 frames = 4 deg/frame — several times
+    KITTI's sharpest corners at this frame rate)."""
+    Rs, ts = [], []
+    pos = np.zeros(3)
+    yaw = 0.0
+    rate = np.deg2rad(turn_deg) / max(turn_frames, 1)
+    for i in range(n_frames):
+        if turn_start <= i < turn_start + turn_frames:
+            yaw += rate
+        c, s = np.cos(yaw), np.sin(yaw)
+        R_wc = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        Rs.append(R_wc)
+        ts.append(pos.copy())
+        pos = pos + R_wc[:, 2] * speed
+    return np.stack(Rs), np.stack(ts)
+
+
 class SyntheticSequence:
     """Renders frames on demand; exposes the reference dataset-adapter interface
     (K, ground-truth poses, frame count — cf. ``src/main.py:14-68``)."""
@@ -104,13 +125,30 @@ class SyntheticSequence:
         world: CorridorWorld | None = None,
         speed: float = 0.35,
         seed: int = 7,
+        trajectory: tuple | None = None,
+        textureless_span: tuple | None = None,
+        occluder: bool = False,
     ):
+        """Stress options (VERDICT r1 #5 validation hardening):
+
+        - ``trajectory``: explicit (R_wc (N,3,3), t_wc (N,3)) — e.g.
+          :func:`trajectory_turn` for sharp corners.
+        - ``textureless_span``: (z0, z1) — the corridor walls are rendered FLAT
+          (constant intensity) for wall z in that range: KLT/detection starvation.
+        - ``occluder``: a textured 2x1.5 m billboard moving laterally through the
+          scene (independent motion violating the static-world assumption).
+        """
         self.n_frames = n_frames
         self.W = width
         self.H = height
         self.world = world or CorridorWorld(seed=seed)
         self.K = make_intrinsics(width, height)
-        self.R_wc, self.t_wc = trajectory_forward(n_frames, speed=speed)
+        if trajectory is not None:
+            self.R_wc, self.t_wc = trajectory
+        else:
+            self.R_wc, self.t_wc = trajectory_forward(n_frames, speed=speed)
+        self.textureless_span = textureless_span
+        self.occluder = occluder
         # precompute pixel rays in camera frame
         u, v = np.meshgrid(np.arange(width) + 0.5, np.arange(height) + 0.5)
         Kinv = np.linalg.inv(self.K)
@@ -153,6 +191,21 @@ class SyntheticSequence:
             wy = cam[1] + tx * d[..., 1]
             wz = cam[2] + tx * d[..., 2]
             t_hit, tex = plane_hit(tx, wy < w.ground_y, wz, wy, sd, 0.85)
+            if self.textureless_span is not None:
+                z0, z1 = self.textureless_span
+                tex = np.where((wz >= z0) & (wz < z1), 0.55, tex)
+            hits.append(t_hit)
+            texs.append(tex)
+        # moving occluder: textured billboard at x = x0 + v*i, fixed z, independent
+        # motion (breaks the static-world assumption for tracks landing on it)
+        if self.occluder:
+            z_q = 14.0 + 0.3 * i          # drifts forward slower than the camera
+            x_q = -3.0 + 0.12 * i         # sweeps laterally across the corridor
+            tq = (z_q - cam[2]) / np.where(np.abs(d[..., 2]) > eps, d[..., 2], eps)
+            qx = cam[0] + tq * d[..., 0]
+            qy = cam[1] + tq * d[..., 1]
+            on_quad = (np.abs(qx - x_q) < 1.0) & (qy > w.ground_y - 2.2) & (qy < w.ground_y - 0.2)
+            t_hit, tex = plane_hit(tq, on_quad, qx - x_q + 0.04 * i, qy, w.seed + 404, 0.95)
             hits.append(t_hit)
             texs.append(tex)
         # far wall z = end_z

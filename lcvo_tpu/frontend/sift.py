@@ -63,14 +63,18 @@ def _gauss_band(n: int, sigma: float) -> np.ndarray:
     x = np.arange(-radius, radius + 1, dtype=np.float64)
     k = np.exp(-0.5 * (x / sigma) ** 2)
     k /= k.sum()
-    m = np.zeros((n, n), np.float32)
+    m = np.zeros((n, n), np.float64)
     idx = np.arange(n)
     for j, kj in enumerate(k):
         off = j - radius
         src = idx + off
         ok = (src >= 0) & (src < n)
         m[idx[ok], src[ok]] = kj
-    return m
+    # Renormalize border rows (truncated taps) so the widest direct kernels don't
+    # attenuate a border band wider than the detection border and fake DoG gradients
+    # there — every row keeps at least the center tap, so the sum is > 0.
+    m /= m.sum(axis=1, keepdims=True)
+    return m.astype(np.float32)
 
 
 def build_scale_space(img: jnp.ndarray, octaves: int, s: int, sigma0: float = 1.6):
@@ -97,8 +101,12 @@ def build_scale_space(img: jnp.ndarray, octaves: int, s: int, sigma0: float = 1.
         ]
         My = jnp.asarray(np.stack([_gauss_band(H, d) for d in dsigs]))  # (L-1,H,H)
         Mx = jnp.asarray(np.stack([_gauss_band(W, d) for d in dsigs]))  # (L-1,W,W)
-        t = jnp.einsum("lhg,gw->lhw", My, base)      # blur along y, all levels at once
-        lv = jnp.einsum("lhw,lvw->lhv", t, Mx)       # blur along x
+        # fp32 matmuls: Gaussian levels are ~[0,1] and the downstream DoG contrast
+        # gate (contrast_thresh/s ~ 0.013) compares differences far below bf16's
+        # ~1e-3 rounding at the TPU-default matmul precision
+        hi = jax.lax.Precision.HIGHEST
+        t = jnp.einsum("lhg,gw->lhw", My, base, precision=hi)  # blur along y
+        lv = jnp.einsum("lhw,lvw->lhv", t, Mx, precision=hi)   # blur along x
         stack = jnp.concatenate([base[None], lv], axis=0)  # (s+3, H, W)
         space.append(stack)
         base = stack[s][::2, ::2]
@@ -145,12 +153,13 @@ def _topk_volume(score: jnp.ndarray, k: int):
     A flat ``lax.top_k`` over the whole volume is the single most expensive op of
     detection on TPU (5.2 ms for a 2.3M-element octave). Hierarchical version:
     per-(layer, row) top-k2 prefilter, then global top-k over the ~L*H*k2 survivors
-    (2x faster, measured). Exact unless one scanline of one DoG layer holds more
-    than k2 of the global top-k — impossible in practice: 3x3x3 extrema are >=2 px
-    apart along a row, and k2=32 per row vs k/octave ~341 total.
+    (2x faster, measured). An approximation: it drops keypoints iff one scanline of
+    one DoG layer holds more than k2 of the global top-k. k2 scales with k so a
+    single strong texture row (3x3x3 extrema are >=2 px apart, so <= W/2 survivors
+    per row) cannot plausibly concentrate that many of the octave's top-k.
     """
     L, H, W = score.shape
-    k2 = min(32, W)
+    k2 = min(max(32, k // 8), W)
     if L * H * k2 < max(4 * k, 4096) or L * H * W <= 4 * L * H * k2:
         return lax.top_k(score.reshape(-1), k)
     v1, c1 = lax.top_k(score.reshape(L * H, W), k2)
@@ -380,6 +389,37 @@ def _orientation(gxB, gyB, ox, oy, xy, sig_rel, valid, S):
     return jnp.where(valid, ori, 0.0)
 
 
+def _describe_patch(iB, ox, oy, xy, sig_rel, ori, valid, S, P):
+    """Normalized rotated-patch descriptor (128-d), the cheap alternative to the SIFT
+    histogram (``DescriptorConfig.method = 'patch'``): bilinear-sample a rotated
+    P x P intensity grid over the same support as the SIFT descriptor (half-width
+    6*sigma), zero-mean + L2-normalize, and mean-pool/pad to 128 dims so it drops
+    into the same matcher/state tables."""
+    N = xy.shape[0]
+    c = jnp.cos(ori)[:, None]
+    s = jnp.sin(ori)[:, None]
+    grid = (jnp.arange(P, dtype=jnp.float32) + 0.5) / P * 2.0 - 1.0
+    du, dv = jnp.meshgrid(grid, grid, indexing="xy")
+    offs_u = du.reshape(-1)[None, :]
+    offs_v = dv.reshape(-1)[None, :]
+    half = (6.0 * sig_rel)[:, None]
+    u = offs_u * half
+    v = offs_v * half
+    xs = xy[:, 0:1] + u * c - v * s
+    ys = xy[:, 1:2] + u * s + v * c
+    (vals,) = _sample_blocks_nk([iB], xs - ox[:, None], ys - oy[:, None], S)
+    vals = vals - jnp.mean(vals, axis=1, keepdims=True)
+    D = vals.shape[1]
+    if D >= 128:
+        pool = D // 128
+        vals = vals[:, : pool * 128].reshape(N, 128, pool).mean(-1)
+    else:
+        vals = jnp.pad(vals, ((0, 0), (0, 128 - D)))
+    n = jnp.maximum(jnp.linalg.norm(vals, axis=1, keepdims=True), 1e-12)
+    desc = vals / n
+    return jnp.where(valid[:, None], desc, 0.0)
+
+
 def _describe(gxB, gyB, ox, oy, xy, sig_rel, ori, valid, S):
     """128-d descriptors from a fixed rotated 16x16 sample grid (octave res)."""
     c = jnp.cos(ori)[:, None]
@@ -427,6 +467,8 @@ def _describe(gxB, gyB, ox, oy, xy, sig_rel, ori, valid, S):
         "scales_per_octave",
         "compute_desc",
         "border",
+        "desc_method",
+        "patch_size",
     ),
 )
 def sift(
@@ -439,6 +481,8 @@ def sift(
     sigma0: float = 1.6,
     border: int = 8,
     compute_desc: bool = True,
+    desc_method: str = "sift",
+    patch_size: int = 16,
 ) -> SiftFeatures:
     """Detect (and optionally describe) SIFT-class features in a (H, W) image.
 
@@ -465,10 +509,13 @@ def sift(
         gxB, oxb, oyb = _extract_stack_blocks(gx_st, li, xy, S_blk)
         gyB, _, _ = _extract_stack_blocks(gy_st, li, xy, S_blk)
         ori = _orientation(gxB, gyB, oxb, oyb, xy, sig_rel, valid, S_blk)
-        if compute_desc:
-            desc = _describe(gxB, gyB, oxb, oyb, xy, sig_rel, ori, valid, S_blk)
-        else:
+        if not compute_desc:
             desc = jnp.zeros((k_oct, 128), jnp.float32)
+        elif desc_method == "patch":
+            iB, oxi, oyi = _extract_stack_blocks(gstack, li, xy, S_blk)
+            desc = _describe_patch(iB, oxi, oyi, xy, sig_rel, ori, valid, S_blk, patch_size)
+        else:
+            desc = _describe(gxB, gyB, oxb, oyb, xy, sig_rel, ori, valid, S_blk)
         scale_f = float(2**o)
         pts_all.append((xy + 0.5) * scale_f - 0.5)
         sig_all.append(sig_rel * scale_f)

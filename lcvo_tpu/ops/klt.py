@@ -86,7 +86,7 @@ def _extract_blocks(img: jnp.ndarray, centers: jnp.ndarray, S: int):
     return blocks, jnp.stack([ox, oy], axis=-1).astype(centers.dtype)
 
 
-def _track_level(prev_img, next_img, pts_l, d, window, iters):
+def _track_level(prev_img, next_img, pts_l, d, window, iters, eps):
     """One pyramid level of IC-LK. pts_l, d in this level's pixel units.
 
     Returns (d, det_ok, residual) — residual is the mean |error| of the final patch.
@@ -137,7 +137,10 @@ def _track_level(prev_img, next_img, pts_l, d, window, iters):
         ddx = (hyy * bx - hxy * by) / safe_det
         ddy = (-hxy * bx + hxx * by) / safe_det
         step = jnp.stack([ddx, ddy], axis=-1)
-        dd = dd - jnp.where(det_ok[:, None], step, 0.0)
+        # convergence mask (OpenCV's criteria eps, per track): once the update is
+        # below eps the track is converged — freeze it instead of jittering
+        live = det_ok & (jnp.sum(step * step, axis=-1) >= eps * eps)
+        dd = dd - jnp.where(live[:, None], step, 0.0)
         return jnp.clip(dd, dd_min, dd_max)
 
     d = lax.fori_loop(0, iters, body, d)
@@ -161,6 +164,7 @@ def pyramidal_klt(
     max_residual: float = 12.0,
     max_displacement: float = 60.0,
     border: int = 12,
+    eps: float = 0.01,
 ):
     """Track ``pts`` (N, 2) [x, y] from the previous frame into the next.
 
@@ -179,7 +183,7 @@ def pyramidal_klt(
         scale = jnp.asarray(2.0**-l, pts.dtype)
         pts_l = pts * scale
         d, det_ok, sat, residual = _track_level(
-            prev_pyramid[l], next_pyramid[l], pts_l, d, window, iters
+            prev_pyramid[l], next_pyramid[l], pts_l, d, window, iters, eps
         )
         ok = ok & det_ok
         if l == 0:

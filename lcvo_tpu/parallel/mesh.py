@@ -38,6 +38,15 @@ def make_mesh(n_devices: int | None = None, axis_names: tuple = ("data",), shape
     return Mesh(arr, axis_names)
 
 
+def mesh_from_config(cfg) -> Mesh:
+    """Mesh from ``cfg.runtime``: ``mesh_shape`` (empty = all local devices on the
+    first axis) laid out over ``mesh_axes``."""
+    rt = cfg.runtime
+    shape = tuple(rt.mesh_shape) or None
+    n = int(np.prod(shape)) if shape else None
+    return make_mesh(n_devices=n, axis_names=tuple(rt.mesh_axes), shape=shape)
+
+
 def init_distributed(coordinator: str | None = None, num_processes: int | None = None, process_id: int | None = None):
     """Multi-host bring-up (``jax.distributed.initialize``). No-op when single-host."""
     if num_processes is None or num_processes <= 1:

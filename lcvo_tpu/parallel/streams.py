@@ -48,8 +48,9 @@ def make_multistream_step(cfg, K, mesh: Mesh | None = None, axis: str = "data"):
         }
         return states, results, agg
 
+    donate = (0,) if cfg.runtime.donate_state else ()
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=donate)
 
     sh = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
@@ -57,5 +58,5 @@ def make_multistream_step(cfg, K, mesh: Mesh | None = None, axis: str = "data"):
         step,
         in_shardings=(sh, sh, sh),
         out_shardings=(sh, sh, rep),
-        donate_argnums=(0,),
+        donate_argnums=donate,
     )

@@ -64,10 +64,11 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
     n_tracks = cfg.state.max_tracks
     alpha_rad = float(np.deg2rad(cfg.triangulation.alpha_deg))
     pnp_thresh_n = cfg.ransac.pnp_thresh_px / fx
-    max_cand_age = 90
+    max_cand_age = cfg.triangulation.max_candidate_age
+    pyr_dtype = jnp.dtype(cfg.runtime.dtype)
 
     def process_frame(state: st.VOState, image: jnp.ndarray, key) -> tuple[st.VOState, FrameResult]:
-        pyr_new = build_pyramid(image, kltc.levels)
+        pyr_new = build_pyramid(image.astype(pyr_dtype), kltc.levels)
 
         # ------ 1. joint KLT over landmark tracks P and candidate tracks C ------
         # (reference HOT LOOPs 1/1b: src/vo_pipeline.py:215,501 — one batched call)
@@ -81,6 +82,7 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
             max_residual=kltc.max_residual,
             max_displacement=kltc.max_displacement,
             border=kltc.border,
+            eps=kltc.eps,
         )
         P_new, C_new = new_pts[:n_tracks], new_pts[n_tracks:]
         tracks = st.TrackTable(
@@ -172,6 +174,8 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
                 edge_thresh=det.sift_edge_thresh,
                 border=kltc.border,
                 compute_desc=(mode == "sift-sift"),
+                desc_method=cfg.descriptor.method,
+                patch_size=cfg.descriptor.patch_size,
             )
             pts_det, det_ok = feats.pts, feats.valid
             if mode == "sift-sift":
@@ -271,6 +275,7 @@ def make_bootstrap_fns(cfg: VOConfig, K: np.ndarray):
             max_residual=kltc.max_residual,
             max_displacement=kltc.max_displacement,
             border=kltc.border,
+            eps=kltc.eps,
         )
         return new_pts, valid & ok
 
@@ -322,7 +327,8 @@ class VisualOdometry:
     def __init__(self, cfg: VOConfig, K: np.ndarray):
         self.cfg = cfg
         self.K = np.asarray(K, np.float64)
-        self._process = jax.jit(make_process_frame(cfg, jnp.asarray(K, jnp.float32)), donate_argnums=(0,))
+        donate = (0,) if cfg.runtime.donate_state else ()
+        self._process = jax.jit(make_process_frame(cfg, jnp.asarray(K, jnp.float32)), donate_argnums=donate)
         self._detect0, self._track_pair, self._two_view = make_bootstrap_fns(cfg, self.K)
         self.state: st.VOState | None = None
         self._key = jax.random.PRNGKey(cfg.seed)
@@ -351,23 +357,27 @@ class VisualOdometry:
         """
         cfg = self.cfg
         imgs = [jnp.asarray(f, jnp.float32) for f in frames]
-        pyrs = [build_pyramid(im, cfg.klt.levels) for im in imgs]
+        pyr_dtype = jnp.dtype(cfg.runtime.dtype)
+        pyrs = [build_pyramid(im.astype(pyr_dtype), cfg.klt.levels) for im in imgs]
+        det = cfg.detector
+
+        def feats_of(im):
+            return sift_detect(
+                im,
+                max_keypoints=cfg.descriptor.max_keypoints,
+                octaves=det.sift_octaves,
+                scales_per_octave=det.sift_scales_per_octave,
+                contrast_thresh=det.sift_contrast_thresh,
+                edge_thresh=det.sift_edge_thresh,
+                border=cfg.klt.border,
+                desc_method=cfg.descriptor.method,
+                patch_size=cfg.descriptor.patch_size,
+            )
+
+        f1 = None
         if cfg.bootstrap.init_method == "sift":
             # reference init: SIFT detect+describe both endpoint frames, BF knn
             # match with Lowe ratio (``src/vo_pipeline.py:69-121``)
-            det = cfg.detector
-
-            def feats_of(im):
-                return sift_detect(
-                    im,
-                    max_keypoints=cfg.descriptor.max_keypoints,
-                    octaves=det.sift_octaves,
-                    scales_per_octave=det.sift_scales_per_octave,
-                    contrast_thresh=det.sift_contrast_thresh,
-                    edge_thresh=det.sift_edge_thresh,
-                    border=cfg.klt.border,
-                )
-
             f0 = feats_of(imgs[0])
             f1 = feats_of(imgs[-1])
             idx, ok = mutual_match(
@@ -406,8 +416,25 @@ class VisualOdometry:
             prev_image=imgs[-1],
             prev_pyramid=pyrs[-1],
         )
+        if state.prev_desc is not None:
+            # sift-sift mode: seed the previous-frame descriptor table with the last
+            # bootstrap frame so the first post-bootstrap frame filters already-seen
+            # keypoints instead of flooding the candidate set (the reference seeds
+            # ``old_des = SIFT(img1)`` at bootstrap, ``src/main.py:190-191``)
+            if f1 is None:
+                f1 = feats_of(imgs[-1])
+            state = state._replace(prev_desc=f1.desc, prev_desc_valid=f1.valid)
         self.state = state
-        return int(n_inl)
+        n = int(n_inl)
+        if n < cfg.bootstrap.min_matches:
+            import warnings
+
+            warnings.warn(
+                f"weak bootstrap: {n} essential-matrix inliers < "
+                f"bootstrap.min_matches={cfg.bootstrap.min_matches}",
+                stacklevel=2,
+            )
+        return n
 
     # -- per-frame ---------------------------------------------------------
     def step(self, image: np.ndarray) -> FrameResult:
@@ -538,29 +565,118 @@ class VisualOdometry:
             i += 1
         return self.trajectory
 
+    def _pose_result(self, R, t, pose_ok: bool) -> FrameResult:
+        """A driver-synthesized FrameResult (bootstrap end pose, or a held pose for
+        frames consumed while a re-bootstrap burst buffers)."""
+        return FrameResult(
+            R=jnp.asarray(R, jnp.float32), t=jnp.asarray(t, jnp.float32),
+            pose_ok=jnp.array(pose_ok),
+            n_tracked=self.state.tracks.count(),
+            n_inliers=jnp.array(0, jnp.int32),
+            n_candidates=jnp.array(0, jnp.int32), n_promoted=jnp.array(0, jnp.int32),
+            reproj_rms=jnp.array(0.0),
+        )
+
+    # -- checkpoint / resume --------------------------------------------------
+    def save(self, path: str, produced: int):
+        """Checkpoint the full driver state (VO state, BA window, trajectory, RNG
+        key, frame counter) so a long replay resumes bit-exactly (SURVEY §5)."""
+        from lcvo_tpu.utils import checkpoint as ckpt
+
+        ckpt.save_checkpoint(
+            path,
+            self.state,
+            window=self.window,
+            trajectory=self.trajectory,
+            frame_idx=produced,
+            rng_key=self._key,
+        )
+
+    def resume(self, path: str) -> int:
+        """Restore a :meth:`save` checkpoint; returns the absolute frame index to
+        continue from (feed frames[produced:] to :meth:`run_continue`)."""
+        from lcvo_tpu.utils import checkpoint as ckpt
+
+        cfg = self.cfg
+        state_tmpl = st.make_vo_state(cfg, (cfg.image_height, cfg.image_width))
+        win_tmpl = self.window
+        state, window, traj, produced, key = ckpt.load_checkpoint(path, state_tmpl, win_tmpl)
+        if produced is None:
+            raise ValueError(f"checkpoint {path} has no frame counter — not a driver checkpoint")
+        self.state = state
+        if window is not None:
+            self.window = window
+        self.trajectory = list(traj)
+        if key is not None:
+            self._key = key
+        return produced
+
     # -- full-sequence convenience ------------------------------------------
-    def run(self, frame_iter, n_frames: int, bootstrap_gap: int | None = None, on_frame=None):
+    def run(self, frame_iter, n_frames: int, bootstrap_gap: int | None = None,
+            on_frame=None, checkpoint_every: int = 0, checkpoint_path: str | None = None):
         """Run bootstrap + continuous operation over an iterable of frames.
 
-        Handles re-bootstrap on tracking failure (health counter) like the
-        reference's fallback (``src/vo_pipeline.py:274-324``) but at the driver level:
-        buffer the next ``gap+1`` frames, re-init anchored at the last good pose.
+        Emits exactly one pose per frame from frame ``gap`` onward
+        (``len(trajectory) == frames_consumed - gap``), so ground-truth alignment is
+        index-exact even across failure recovery — unlike the reference, which
+        recurses inside ``estimatePose`` but whose driver still records a pose every
+        iteration (``src/vo_pipeline.py:274-324``, ``src/main.py:235-239``).
+
+        Failure recovery: inlier starvation (health counter) triggers a driver-level
+        re-bootstrap over the next ``bootstrap.rebootstrap_skip`` frames (the
+        reference skips 4 frames, ``src/vo_pipeline.py:288``), anchored at the last
+        good pose; frames consumed while the burst buffers record the held anchor
+        pose. Bursts with fewer than ``bootstrap.min_matches`` inliers extend one
+        frame at a time (bounded), as does the initial bootstrap window.
+
+        ``checkpoint_every=N`` saves a resumable checkpoint to ``checkpoint_path``
+        every N processed frames (at healthy frames only).
         """
-        gap = bootstrap_gap or self.cfg.bootstrap.frame_gap
-        frames = []
+        cfg = self.cfg
+        gap = bootstrap_gap or cfg.bootstrap.frame_gap
+        min_m = cfg.bootstrap.min_matches
+        max_extend = 4
         it = iter(frame_iter)
-        for _ in range(gap + 1):
-            frames.append(next(it))
-        self.bootstrap(frames)
-        # trajectory for bootstrap frames: identity → first pose (interpolation-free:
-        # record endpoints only, like the reference which starts plotting at frame gap)
-        self.record(FrameResult(
-            R=self.state.R, t=self.state.t, pose_ok=jnp.array(True),
-            n_tracked=self.state.tracks.count(), n_inliers=self.state.tracks.count(),
-            n_candidates=jnp.array(0), n_promoted=jnp.array(0), reproj_rms=jnp.array(0.0),
-        ))
+        frames = [next(it) for _ in range(gap + 1)]
+        n_inl = self.bootstrap(frames)
         produced = gap + 1
+        # quality gate (bootstrap.min_matches): while the two-view init is weak,
+        # extend the window one frame at a time; each superseded window-end frame
+        # keeps its (weak) pose so the trajectory stays index-exact
+        extends = 0
+        while n_inl < min_m and extends < max_extend and produced < n_frames:
+            try:
+                img = next(it)
+            except StopIteration:
+                break
+            self.record(self._pose_result(self.state.R, self.state.t, False))
+            frames.append(img)
+            produced += 1
+            extends += 1
+            n_inl = self.bootstrap(frames)
+        # pose for the bootstrap window's end frame
+        self.record(self._pose_result(self.state.R, self.state.t, True))
+        return self.run_continue(
+            it, n_frames, produced,
+            on_frame=on_frame, checkpoint_every=checkpoint_every,
+            checkpoint_path=checkpoint_path,
+        )
+
+    def run_continue(self, frame_iter, n_frames: int, produced: int, on_frame=None,
+                     checkpoint_every: int = 0, checkpoint_path: str | None = None):
+        """Continuous-operation loop from an already-initialized state (used by
+        :meth:`run` after bootstrap, and by the CLI's ``--resume`` path).
+
+        ``produced`` is the absolute count of frames consumed so far;
+        ``frame_iter`` yields frames ``produced, produced+1, ...``.
+        """
+        cfg = self.cfg
+        skip = max(cfg.bootstrap.rebootstrap_skip, 1)
+        min_m = cfg.bootstrap.min_matches
+        max_extend = 4
+        it = iter(frame_iter)
         rebootstrap_buf: list[np.ndarray] = []
+        anchor: tuple[np.ndarray, np.ndarray] | None = None
         while produced < n_frames:
             try:
                 img = next(it)
@@ -569,11 +685,17 @@ class VisualOdometry:
             produced += 1
             if rebootstrap_buf:
                 rebootstrap_buf.append(img)
-                if len(rebootstrap_buf) == gap + 1:
-                    R_anchor = np.asarray(self.state.R)
-                    t_anchor = np.asarray(self.state.t)
-                    self.bootstrap(rebootstrap_buf, R0=R_anchor, t0=t_anchor)
-                    rebootstrap_buf = []
+                if len(rebootstrap_buf) < skip + 1:
+                    # burst still filling: hold the last-known anchor pose
+                    self.record(self._pose_result(anchor[0], anchor[1], False))
+                    continue
+                n_inl = self.bootstrap(rebootstrap_buf, R0=anchor[0], t0=anchor[1])
+                if n_inl < min_m and len(rebootstrap_buf) < skip + 1 + max_extend:
+                    # weak re-init: keep this window's end pose, extend the burst
+                    self.record(self._pose_result(self.state.R, self.state.t, False))
+                    continue
+                rebootstrap_buf = []
+                self.record(self._pose_result(self.state.R, self.state.t, True))
                 continue
             res = self.step(img)
             self.record(res)
@@ -582,4 +704,7 @@ class VisualOdometry:
             if int(self.state.health) >= 2:
                 # tracking collapsed → re-bootstrap from the current frame burst
                 rebootstrap_buf = [img]
+                anchor = (np.asarray(self.state.R), np.asarray(self.state.t))
+            elif checkpoint_every and checkpoint_path and produced % checkpoint_every == 0:
+                self.save(checkpoint_path, produced)
         return self.trajectory

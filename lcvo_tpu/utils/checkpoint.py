@@ -26,8 +26,9 @@ def _flatten(tree) -> dict:
     return flat
 
 
-def save_checkpoint(path: str, state, window=None, trajectory=None, frame_idx: int | None = None):
-    """Serialize VO state (+ optional BA window and host-side trajectory) to npz."""
+def save_checkpoint(path: str, state, window=None, trajectory=None, frame_idx: int | None = None, rng_key=None):
+    """Serialize VO state (+ optional BA window, host-side trajectory, and the
+    driver's RNG key — needed for bit-exact resume) to npz."""
     payload = {f"state:{k}": v for k, v in _flatten(state).items()}
     if window is not None:
         payload.update({f"window:{k}": v for k, v in _flatten(window).items()})
@@ -35,6 +36,8 @@ def save_checkpoint(path: str, state, window=None, trajectory=None, frame_idx: i
         payload["trajectory"] = np.asarray(trajectory)
     if frame_idx is not None:
         payload["frame_idx_host"] = np.asarray(frame_idx)
+    if rng_key is not None:
+        payload["rng_key"] = np.asarray(rng_key)
     np.savez_compressed(path, **payload)
 
 
@@ -61,4 +64,5 @@ def load_checkpoint(path: str, state_template, window_template=None):
     window = restore(window_template, "window:") if window_template is not None else None
     trajectory = [p for p in data["trajectory"]] if "trajectory" in data else []
     frame_idx = int(data["frame_idx_host"]) if "frame_idx_host" in data else None
-    return state, window, trajectory, frame_idx
+    rng_key = jnp.asarray(data["rng_key"]) if "rng_key" in data else None
+    return state, window, trajectory, frame_idx, rng_key

@@ -51,6 +51,36 @@ def test_corrupted_frame_burst_triggers_rebootstrap(seq, cfg):
     assert int(vo.state.tracks.count()) >= cfg.ransac.min_pnp_inliers
 
 
+def test_rebootstrap_trajectory_continuity(seq, cfg):
+    """Across a forced re-bootstrap the driver must emit exactly one pose per frame
+    (``len(trajectory) == n_frames - gap``) so ground-truth alignment stays
+    index-exact, and the Sim(3)-aligned ATE of the full recovered trajectory must
+    stay bounded. The reference's fallback also records a pose every iteration
+    (``src/vo_pipeline.py:274-324``, ``src/main.py:235-239``)."""
+    from lcvo_tpu.metrics import ate_rmse
+
+    rng = np.random.default_rng(1)
+    n = 52
+    gap = cfg.bootstrap.frame_gap
+
+    def frames():
+        for i in range(n):
+            f = seq.frame(i)
+            if 20 <= i < 23:  # corruption burst forces health collapse
+                f = rng.uniform(0, 255, size=f.shape).astype(f.dtype)
+            yield f
+
+    vo = VisualOdometry(cfg, seq.K)
+    traj = vo.run(frames(), n)
+    assert len(traj) == n - gap, (len(traj), n - gap)
+    assert len(vo.results) == len(traj)
+    # index-exact GT alignment over the whole run, including the recovery segment
+    gt = seq.gt_positions()[gap : gap + len(traj)]
+    est = np.asarray(traj)
+    ate = ate_rmse(est, gt)
+    assert np.isfinite(ate) and ate < 3.0, f"ATE across re-bootstrap too large: {ate}"
+
+
 def test_forced_track_drop_refills_via_redetection(seq, cfg):
     """Deterministically clearing most of the track table mid-run must not kill the
     pipeline: candidates are re-detected/promoted and the track count recovers."""

@@ -70,6 +70,28 @@ def test_sift_descriptor_rotation_matching():
     assert frac_good > 0.8, f"only {frac_good:.0%} of matches geometrically consistent"
 
 
+def test_patch_descriptor_matching():
+    """The cheap normalized-patch descriptor (DescriptorConfig.method='patch') must
+    match under a 90-degree rotation like the SIFT histogram descriptor."""
+    img = _textured()
+    H, W = img.shape
+    rot = np.rot90(img).copy()
+    f0 = sift(jnp.asarray(img), max_keypoints=192, octaves=3, desc_method="patch")
+    f1 = sift(jnp.asarray(rot), max_keypoints=192, octaves=3, desc_method="patch")
+    # valid descriptors are unit-norm
+    n = np.linalg.norm(np.asarray(f0.desc)[np.asarray(f0.valid)], axis=1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-4)
+    idx, ok = mutual_match(f0.desc, f0.valid, f1.desc, f1.valid, ratio=0.8)
+    ok = np.asarray(ok)
+    assert ok.sum() >= 15, f"only {ok.sum()} mutual patch matches under rotation"
+    p0 = np.asarray(f0.pts)[ok]
+    p1 = np.asarray(f1.pts)[np.asarray(idx)[ok]]
+    exp = np.stack([p0[:, 1], W - 1 - p0[:, 0]], axis=1)
+    err = np.sqrt(((p1 - exp) ** 2).sum(1))
+    frac_good = (err < 3.0).mean()
+    assert frac_good > 0.7, f"only {frac_good:.0%} of patch matches geometrically consistent"
+
+
 def test_knn_ratio_match_synthetic():
     rng = np.random.default_rng(0)
     base = rng.normal(size=(40, 128)).astype(np.float32)
