@@ -1,9 +1,23 @@
-"""Decision benchmark (VERDICT r1 #4): the full in-kernel Pallas LK tracker
-(`pyramidal_klt_pallas`) vs the production block-extraction einsum tracker
-(`pyramidal_klt`) at the pipeline's operating points, on the real chip.
+"""Micro-benchmark of the Pallas block-extraction kernel vs the portable XLA
+gather, plus the production KLT at its operating points.
 
-Timing fences with a host read of a value data-dependent on the outputs — the
-axon tunnel's block_until_ready does not wait for remote completion (BASELINE.md).
+Decision record (VERDICT r1 #4, measured 2026-08-19 on v5e): a full in-kernel
+Pallas IC-LK tracker (template + Hessian + iteration fori_loop per track, serial
+per program) was benchmarked against the block-extraction einsum tracker and lost
+at every operating point — 3.0-4.6x slower:
+
+    N=  512 win=15 it= 6: einsum  2.27 ms   pallas  6.89 ms  (3.03x)
+    N=  512 win=21 it=10: einsum  3.01 ms   pallas 10.25 ms  (3.41x)
+    N= 2048 win=15 it= 6: einsum  5.13 ms   pallas 23.39 ms  (4.56x)
+    N= 2048 win=21 it=10: einsum  8.37 ms   pallas 36.53 ms  (4.36x)
+
+The serial per-track scalar flow control starves the VPU; the einsum formulation
+keeps the whole track batch on the MXU. The in-kernel tracker was deleted
+(lcvo_tpu/ops/klt_pallas.py keeps only the extraction kernel, which production
+uses via klt._extract_blocks).
+
+Timing fences with a host read — the axon tunnel's block_until_ready does not
+wait for remote completion (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -16,9 +30,10 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
+from jax import lax
 
 from lcvo_tpu.ops.klt import pyramidal_klt
-from lcvo_tpu.ops.klt_pallas import pyramidal_klt_pallas
+from lcvo_tpu.ops.klt_pallas import extract_blocks_pallas
 from lcvo_tpu.ops.pyramid import build_pyramid
 
 W_IMG, H_IMG = 1240, 376
@@ -26,11 +41,11 @@ W_IMG, H_IMG = 1240, 376
 
 def timeit(name, fn, *args, n=20):
     out = fn(*args)
-    _ = float(np.asarray(out[0]).sum())  # host-read fence (compile + warm)
+    _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).sum())
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    _ = float(np.asarray(out[0]).sum())
+    _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).sum())
     dt = (time.perf_counter() - t0) / n * 1e3
     print(f"{name:56s} {dt:8.2f} ms", flush=True)
     return dt
@@ -43,20 +58,31 @@ def main():
     pyr0 = build_pyramid(img0, 3)
     pyr1 = build_pyramid(img1, 3)
 
-    results = {}
+    S = 31
+    for N in (512, 2048):
+        centers = jnp.asarray(
+            rng.uniform([30, 30], [W_IMG - 30, H_IMG - 30], (N, 2)), jnp.float32
+        )
+        f_pal = jax.jit(lambda im, c: extract_blocks_pallas(im, c, S))
+
+        def xla_extract(im, c):
+            want = jnp.floor(c) - (S - 1) // 2
+            ox = jnp.clip(want[:, 0], 0, W_IMG - S).astype(jnp.int32)
+            oy = jnp.clip(want[:, 1], 0, H_IMG - S).astype(jnp.int32)
+            blocks = jax.vmap(lambda y, x: lax.dynamic_slice(im, (y, x), (S, S)))(oy, ox)
+            return blocks, jnp.stack([ox, oy], -1)
+
+        f_xla = jax.jit(xla_extract)
+        timeit(f"extract_blocks pallas  N={N} S={S}", f_pal, img0, centers)
+        timeit(f"extract_blocks XLA     N={N} S={S}", f_xla, img0, centers)
+
     for N in (512, 2048):
         pts = jnp.asarray(
             rng.uniform([30, 30], [W_IMG - 30, H_IMG - 30], (N, 2)), jnp.float32
         )
         for win, iters in ((15, 6), (21, 10)):
             fx = jax.jit(lambda a, b, p, w=win, it=iters: pyramidal_klt(a, b, p, window=w, iters=it))
-            fp = jax.jit(lambda a, b, p, w=win, it=iters: pyramidal_klt_pallas(a, b, p, window=w, iters=it))
-            tx = timeit(f"einsum  N={N} win={win} iters={iters}", fx, pyr0, pyr1, pts)
-            tp = timeit(f"pallas  N={N} win={win} iters={iters}", fp, pyr0, pyr1, pts)
-            results[(N, win, iters)] = (tx, tp)
-    print("\nsummary (einsum_ms, pallas_ms, pallas/einsum):")
-    for k, (tx, tp) in results.items():
-        print(f"  N={k[0]:5d} win={k[1]:2d} it={k[2]:2d}: {tx:7.2f} {tp:7.2f} {tp/tx:5.2f}x")
+            timeit(f"pyramidal_klt N={N} win={win} iters={iters}", fx, pyr0, pyr1, pts)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,44 @@
+"""2-process ``jax.distributed`` integration (VERDICT r1 #7, SURVEY §4 item 4):
+the sharded BA and mesh helpers must run across a real process boundary — the
+CI-measurable analog of multi-host DCN — not just the in-process 8-device mesh.
+
+Spawns two workers, each with 4 virtual CPU devices; ``init_distributed`` +
+Gloo collectives connect them (this is the only place
+``parallel.mesh.init_distributed`` actually executes)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_ba():
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multiprocess_worker.py")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert f"MULTIPROC-OK pid={pid} devices=8" in out, out[-2000:]
