@@ -103,35 +103,53 @@ def plot_trajectory(est: np.ndarray, gt: np.ndarray | None, path: str, title: st
 
 
 def export_video(frame_dir: str, out_path: str, fps: int = 20):
-    """Stitch dumped dashboard PNGs into an mp4 (the reference's ``export_video.py``).
+    """Stitch dumped dashboard PNGs into a video (the reference's
+    ``export_video.py``: cv2.VideoWriter mp4v at 20 fps).
 
-    Uses imageio/PIL-free ffmpeg via matplotlib animation writer when available;
-    falls back to leaving the frame directory in place.
+    Writer selection: ffmpeg mp4 when available; otherwise an animated GIF via
+    PIL (always present). Returns the path actually written, or an explanatory
+    string if every writer failed (frames are kept either way).
     """
     names = sorted(n for n in os.listdir(frame_dir) if n.endswith(".png"))
     if not names:
         raise ValueError(f"no frames in {frame_dir}")
+    paths = [os.path.join(frame_dir, n) for n in names]
     try:
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.animation as animation
-        import matplotlib.image as mpimg
-        import matplotlib.pyplot as plt
 
-        first = mpimg.imread(os.path.join(frame_dir, names[0]))
-        fig = plt.figure(figsize=(first.shape[1] / 100, first.shape[0] / 100), dpi=100)
-        ax = fig.add_axes([0, 0, 1, 1])
-        ax.set_axis_off()
-        im = ax.imshow(first)
+        if out_path.endswith(".mp4") and animation.writers.is_available("ffmpeg"):
+            import matplotlib.image as mpimg
+            import matplotlib.pyplot as plt
 
-        def frame_fn(i):
-            im.set_data(mpimg.imread(os.path.join(frame_dir, names[i])))
-            return [im]
+            first = mpimg.imread(paths[0])
+            fig = plt.figure(figsize=(first.shape[1] / 100, first.shape[0] / 100), dpi=100)
+            ax = fig.add_axes([0, 0, 1, 1])
+            ax.set_axis_off()
+            im = ax.imshow(first)
 
-        anim = animation.FuncAnimation(fig, frame_fn, frames=len(names), blit=True)
-        anim.save(out_path, fps=fps)
-        plt.close(fig)
-        return out_path
-    except Exception as e:  # ffmpeg absent etc. — keep the frames
+            def frame_fn(i):
+                im.set_data(mpimg.imread(paths[i]))
+                return [im]
+
+            anim = animation.FuncAnimation(fig, frame_fn, frames=len(paths), blit=True)
+            anim.save(out_path, fps=fps)
+            plt.close(fig)
+            return out_path
+        # no ffmpeg in this environment: animated GIF through PIL
+        from PIL import Image
+
+        gif_path = os.path.splitext(out_path)[0] + ".gif"
+        frames = [Image.open(p).convert("P", palette=Image.ADAPTIVE) for p in paths]
+        frames[0].save(
+            gif_path,
+            save_all=True,
+            append_images=frames[1:],
+            duration=max(int(1000 / fps), 20),
+            loop=0,
+        )
+        return gif_path
+    except Exception as e:  # every writer failed — keep the frames
         return f"video export unavailable ({e}); frames kept in {frame_dir}"
