@@ -1,10 +1,14 @@
-"""Headline benchmark: VO frames/s at KITTI resolution on one chip.
+"""Headline benchmark: VO frames/s at KITTI resolution on one chip, all modes.
 
 Baseline: the reference's per-frame OpenCV kernel sequence measured at 9.45 frames/s
 in its selected sift-sift mode on this image's CPU (BASELINE.md, measured via
 benchmarks/reference_cpu.py). North star (BASELINE.json): >=5x -> 47.2 frames/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The headline metric is the MODE-MATCHED comparison: our sift-sift throughput vs
+the reference's selected sift-sift mode (report §3.1). The other two reference
+candidate modes and the BA-enabled pipeline are measured into the same JSON line.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "modes"}.
 """
 
 from __future__ import annotations
@@ -15,7 +19,8 @@ import time
 
 import numpy as np
 
-REF_FPS = 9.45  # BASELINE.md: reference sift-sift mode, this image's CPU
+REF_FPS = 9.45       # BASELINE.md: reference sift-sift mode, this image's CPU
+REF_FPS_SHI = 59.3   # BASELINE.md: reference shi mode
 
 _CACHE = os.path.join(os.path.dirname(__file__), "benchmarks", ".frame_cache.npz")
 
@@ -35,31 +40,16 @@ def _frames(n_frames, W, H):
     return [f for f in frames], seq.K
 
 
-def main():
+def _measure_mode(cfg, frames, K, chunk=16, n_chunks=4):
+    """Steady-state frames/s of the compiled chunked scan for one config."""
     import jax
     import jax.numpy as jnp
 
-    # persistent compile cache: axon's first in-process compilation pays a ~200 s
-    # compiler warmup; cached executables skip it on subsequent bench runs
-    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    from lcvo_tpu.config import load_config
     from lcvo_tpu.pipeline import VisualOdometry
-
-    W, H = 1240, 376  # KITTI 05 resolution (reference src/main.py:14-29)
-    n_frames = 28
-    cfg = load_config(overrides={"image_width": W, "image_height": H})
-    frames, K = _frames(n_frames, W, H)
 
     vo = VisualOdometry(cfg, K)
     gap = cfg.bootstrap.frame_gap
     vo.bootstrap(frames[: gap + 1])
-
-    # throughput mode: the Markovian step scanned over device-resident chunks —
-    # one dispatch per chunk (the streaming path a production replay uses; the
-    # per-frame path exists for interactive/online use)
-    chunk = 16
     chunk_fn = vo.make_chunk_step(chunk)
     batch = jnp.asarray(np.stack(frames[gap + 1 : gap + 1 + chunk]), jnp.float32)
 
@@ -75,24 +65,58 @@ def main():
     # warmup: compile. NOTE: the axon tunnel's block_until_ready does NOT wait for
     # remote completion — a host read of a value dependent on the whole chain is the
     # only reliable fence, so every timing below ends with a device_get.
-    carry, out = run_chunk(vo.chunk_carry())
+    carry, _ = run_chunk(vo.chunk_carry())
     fence(carry)
 
     t0 = time.perf_counter()
-    n_chunks = 4
     for _ in range(n_chunks):
-        carry, out = run_chunk(carry)
-    fence(carry)  # host read: fences the dependent chunk chain
+        carry, _ = run_chunk(carry)
+    fence(carry)
     dt = time.perf_counter() - t0
+    return n_chunks * chunk / dt
 
-    fps = n_chunks * chunk / dt
+
+def main():
+    import jax
+
+    # persistent compile cache: axon's first in-process compilation pays a ~200 s
+    # compiler warmup; cached executables skip it on subsequent bench runs
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from lcvo_tpu.config import load_config
+
+    W, H = 1240, 376  # KITTI 05 resolution (reference src/main.py:14-29)
+    n_frames = 28
+    frames, K = _frames(n_frames, W, H)
+
+    modes = {}
+    for mode in ("sift-sift", "shi-mask", "sift-mask"):
+        cfg = load_config(overrides={
+            "image_width": W, "image_height": H,
+            "find_new_candidates_method": mode,
+        })
+        modes[mode] = round(_measure_mode(cfg, frames, K), 2)
+    cfg_ba = load_config(overrides={
+        "image_width": W, "image_height": H,
+        "find_new_candidates_method": "shi-mask",
+        "ba": {"enabled": True},
+    })
+    modes["shi-mask+ba"] = round(_measure_mode(cfg_ba, frames, K), 2)
+
+    fps = modes["sift-sift"]
     print(
         json.dumps(
             {
-                "metric": "vo_frames_per_s_kitti_res_1chip",
-                "value": round(fps, 2),
+                "metric": "vo_frames_per_s_kitti_res_1chip_sift_sift",
+                "value": fps,
                 "unit": "frames/s",
                 "vs_baseline": round(fps / REF_FPS, 2),
+                "modes": modes,
+                "mode_vs_baseline": {
+                    "sift-sift": round(modes["sift-sift"] / REF_FPS, 2),
+                    "shi-mask": round(modes["shi-mask"] / REF_FPS_SHI, 2),
+                },
             }
         )
     )
