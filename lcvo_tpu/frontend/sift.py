@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from lcvo_tpu.ops.pyramid import gaussian_blur
+from lcvo_tpu.ops.pyramid import _decim_band, gaussian_blur
 
 
 class SiftFeatures(NamedTuple):
@@ -109,7 +109,11 @@ def build_scale_space(img: jnp.ndarray, octaves: int, s: int, sigma0: float = 1.
         lv = jnp.einsum("lhw,lvw->lhv", t, Mx, precision=hi)   # blur along x
         stack = jnp.concatenate([base[None], lv], axis=0)  # (s+3, H, W)
         space.append(stack)
-        base = stack[s][::2, ::2]
+        # next octave base: 2x decimation of G[s] via selection matmuls — a
+        # stride-2 slice on the lane dim forces a slow relayout on TPU
+        Sy = jnp.asarray(_decim_band(H, [1.0]))
+        Sx = jnp.asarray(_decim_band(W, [1.0]))
+        base = jnp.einsum("hg,gw,vw->hv", Sy, stack[s], Sx, precision=hi)
     return space
 
 

