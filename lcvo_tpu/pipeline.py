@@ -541,10 +541,21 @@ class VisualOdometry:
         """Replay a whole sequence in device-resident chunks (bootstrap first).
 
         ``frames``: (T, H, W). Poses for the scanned frames are appended to
-        ``self.trajectory``. Tail frames that don't fill a chunk run through the
-        per-frame path.
+        ``self.trajectory`` (one per frame — failure recovery keeps the count
+        exact, like :meth:`run`). Tail frames that don't fill a chunk run through
+        the per-frame path.
+
+        Failure recovery in throughput mode: the scanned step carries the same
+        health counter as the per-frame path; if a chunk ends with tracking
+        collapsed, the already-recorded poses for that chunk are the held
+        last-good pose from the scan, and the driver re-bootstraps over the next
+        ``rebootstrap_skip + 1`` frames (recording the held anchor pose for them)
+        before resuming the scan — so a corruption burst costs one chunk of
+        frozen poses, not the replay.
         """
-        gap = self.cfg.bootstrap.frame_gap
+        cfg = self.cfg
+        gap = cfg.bootstrap.frame_gap
+        skip = max(cfg.bootstrap.rebootstrap_skip, 1)
         self.bootstrap([frames[i] for i in range(gap + 1)])
         chunk_fn = self.make_chunk_step(chunk)
         i = gap + 1
@@ -559,6 +570,19 @@ class VisualOdometry:
             for j in range(chunk):
                 self.trajectory.append(-Rs[j].T @ ts[j])
             i += chunk
+            if int(self.state.health) >= 2 and i + skip + 1 <= T:
+                # tracking collapsed inside the chunk: re-bootstrap anchored at
+                # the last pose (held through the failed frames by process_frame)
+                R0 = np.asarray(self.state.R)
+                t0 = np.asarray(self.state.t)
+                burst = [frames[i + k] for k in range(skip + 1)]
+                self.bootstrap(burst, R0=R0, t0=t0)
+                for _ in range(skip):
+                    self.trajectory.append(-R0.T @ t0)  # held anchor poses
+                self.trajectory.append(
+                    -np.asarray(self.state.R).T @ np.asarray(self.state.t)
+                )
+                i += skip + 1
         while i < T:
             res = self.step(frames[i])
             self.record(res)

@@ -110,6 +110,28 @@ def test_forced_track_drop_refills_via_redetection(seq, cfg):
     assert counts[-1] > 3 * 8, f"track table did not refill: {counts}"
 
 
+def test_chunked_mode_rebootstraps_after_corruption(cfg):
+    """Throughput mode (device-resident chunked scan) must also survive a
+    corruption burst: the scan's health counter trips, the driver re-bootstraps
+    between chunks, and the trajectory stays one-pose-per-frame."""
+    from lcvo_tpu.metrics import ate_rmse
+
+    seq2 = SyntheticSequence(n_frames=48, width=416, height=160)
+    rng = np.random.default_rng(3)
+    frames = np.stack([seq2.frame(i) for i in range(48)])
+    frames[18:21] = rng.uniform(0, 255, frames[18:21].shape).astype(frames.dtype)
+
+    vo = VisualOdometry(cfg, seq2.K)
+    traj = vo.run_chunked(frames, chunk=8)
+    gap = cfg.bootstrap.frame_gap
+    assert len(traj) == 48 - (gap + 1), (len(traj), 48 - gap - 1)
+    # recovered: the last chunk tracked with a healthy pose chain
+    assert int(vo.state.health) == 0
+    gt = seq2.gt_positions()[gap + 1 : gap + 1 + len(traj)]
+    ate = ate_rmse(np.asarray(traj), gt)
+    assert np.isfinite(ate) and ate < 3.0, f"chunked-recovery ATE {ate:.2f} m"
+
+
 def test_total_track_loss_increments_health(seq, cfg):
     """Clearing the whole table must be detected (pose_ok False, health > 0) —
     the validity-mask analog of the reference's KLT status-vector attrition check
