@@ -183,9 +183,14 @@ def make_vo_state(cfg, image_shape) -> VOState:
     H, W = image_shape
     levels = cfg.klt.levels
     pyr_dtype = jnp.dtype(cfg.runtime.dtype)
-    pyr = tuple(
-        jnp.zeros((H >> l, W >> l), pyr_dtype) for l in range(levels)
-    )
+    # level sizes are repeated CEIL halvings (ops.pyramid.downsample2 emits
+    # ceil(n/2) rows/cols) — floor (H >> l) would mismatch for odd dimensions
+    dims = []
+    h, w = H, W
+    for _ in range(levels):
+        dims.append((h, w))
+        h, w = (h + 1) // 2, (w + 1) // 2
+    pyr = tuple(jnp.zeros(d, pyr_dtype) for d in dims)
     sift_sift = cfg.find_new_candidates_method == "sift-sift"
     D = cfg.descriptor.max_keypoints
     return VOState(

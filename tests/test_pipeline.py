@@ -54,6 +54,21 @@ def test_full_run_matches_ground_truth(seq):
     assert err < 0.5, f"ATE {err:.3f} m too large"
 
 
+def test_weak_bootstrap_extension_keeps_alignment(seq):
+    """An unsatisfiable bootstrap.min_matches forces the quality-gate extension
+    path (window grows one frame at a time, bounded); the trajectory must still
+    carry exactly one pose per frame from `gap` onward and track ground truth."""
+    cfg = small_cfg(bootstrap={"frame_gap": 4, "min_matches": 10**6})
+    vo = VisualOdometry(cfg, seq.K)
+    n = 40
+    with pytest.warns(UserWarning, match="weak bootstrap"):
+        vo.run(seq.frames(), n_frames=n)
+    est = np.asarray(vo.trajectory)
+    assert len(est) == n - cfg.bootstrap.frame_gap
+    gt = seq.gt_positions()[cfg.bootstrap.frame_gap : cfg.bootstrap.frame_gap + len(est)]
+    assert ate_rmse(est, gt) < 0.5
+
+
 def test_pipeline_reports_health(seq):
     cfg = small_cfg()
     vo = VisualOdometry(cfg, seq.K)
