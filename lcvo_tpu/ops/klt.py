@@ -93,8 +93,13 @@ def _track_level(prev_img, next_img, pts_l, d, window, iters, eps):
     """
     w = window
     r = (w - 1) // 2
-    # sampling span w+2 (gradients) + wander margin
+    # target block: sampling span w+2 (gradients) + per-level wander margin;
+    # template block: the template is sampled ONCE at the track position (zero
+    # wander), so it only needs bilinear + gradient slack — 2/3 the block area.
+    # (Measured timing-neutral at N=2048 — extraction is latency-bound, not
+    # area-bound — kept for the lower VMEM/HBM footprint at larger N.)
     S = w + 2 + 2 * _MARGIN
+    S_t = w + 2 + 2 * 2
     # edge-pad so a block fits around ANY in-image point (coarse levels are small,
     # and near-border tracks must not have their block shifted off-center)
     p = (S + 1) // 2
@@ -106,7 +111,7 @@ def _track_level(prev_img, next_img, pts_l, d, window, iters, eps):
     # pts+d. (Stacking both images into one extraction call was measured WORSE —
     # 7.5 vs 4.0 ms full-tracker — the doubled VMEM-resident image re-stages per
     # grid program; two calls with the smaller image win.)
-    tblocks, torig = _extract_blocks(prev_p, pts_l + off, S)
+    tblocks, torig = _extract_blocks(prev_p, pts_l + off, S_t)
     nblocks, norig = _extract_blocks(next_p, pts_l + d + off, S)
     torig = torig - off
     norig = norig - off
