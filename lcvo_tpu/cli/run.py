@@ -91,8 +91,12 @@ def main(argv=None) -> dict:
                 dash.update(np.asarray(vo.state.prev_image), vo.state, res)
                 dash.render(os.path.join(args.out, f"dash_{i:06d}.png"), show=cfg.animation)
             if cfg.visualization and i and i % 200 == 0:
-                # periodic trajectory plot (reference ``src/main.py:264-277``)
-                plot_trajectory(np.asarray(vo.trajectory), ds.gt_positions(),
+                # periodic trajectory plot (reference ``src/main.py:264-277``);
+                # trajectory[0] is frame gap's pose → align GT from gap
+                gt_p = ds.gt_positions()
+                if gt_p is not None:
+                    gt_p = gt_p[cfg.bootstrap.frame_gap :]
+                plot_trajectory(np.asarray(vo.trajectory), gt_p,
                                 os.path.join(args.out, f"trajectory_{i:06d}.png"),
                                 title=f"{cfg.dataset} @ frame {i}")
 
@@ -131,7 +135,9 @@ def main(argv=None) -> dict:
     else:
         plot_trajectory(est, None, os.path.join(args.out, "trajectory.png"), title=cfg.dataset)
 
-    if args.export_video and dash is not None:
+    if args.export_video and dash is not None and any(
+        n.startswith("dash_") for n in os.listdir(args.out)
+    ):
         from lcvo_tpu.viz import export_video
 
         summary["video"] = str(export_video(args.out, os.path.join(args.out, "run.mp4")))

@@ -136,7 +136,10 @@ class RuntimeConfig:
     #                                on one axis (see parallel.mesh.mesh_from_config)
     mesh_axes: tuple = ("data",)   # mesh axis names; first axis shards streams
     dtype: str = "float32"         # pyramid/KLT compute dtype ('float32'|'bfloat16';
-    #                                bf16 halves HBM traffic, costs subpixel precision)
+    #                                bf16 halves HBM traffic but costs subpixel
+    #                                precision AND forces the KLT block extraction
+    #                                onto the slower XLA gather path — Mosaic's
+    #                                dynamic rotate is 32-bit only)
     donate_state: bool = True      # donate the state buffer to the jitted step
     prefetch_depth: int = 2        # frames in flight host->device
 

@@ -72,9 +72,14 @@ def _extract_blocks(img: jnp.ndarray, centers: jnp.ndarray, S: int):
 
     On TPU backends this dispatches to the Pallas extraction kernel (VMEM-resident
     image; ~10x faster than the vmapped dynamic_slice gather); elsewhere it uses
-    the portable XLA formulation.
+    the portable XLA formulation. bf16 images take the portable path too —
+    Mosaic's dynamic rotate (pltpu.roll) supports only 32-bit element types.
     """
-    if jax.default_backend() in ("tpu", "axon") and centers.shape[0] % 8 == 0:
+    if (
+        jax.default_backend() in ("tpu", "axon")
+        and centers.shape[0] % 8 == 0
+        and img.dtype == jnp.float32
+    ):
         from lcvo_tpu.ops.klt_pallas import extract_blocks_pallas
 
         return extract_blocks_pallas(img, centers, S)

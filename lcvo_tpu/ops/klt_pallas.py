@@ -118,7 +118,7 @@ def extract_blocks_pallas(img: jnp.ndarray, centers: jnp.ndarray, S: int):
             pl.BlockSpec((_B, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, S, S), jnp.float32),
+            jax.ShapeDtypeStruct((N, S, S), img.dtype),
             jax.ShapeDtypeStruct((N, 2), jnp.int32),
         ],
         interpret=_use_interpret(),

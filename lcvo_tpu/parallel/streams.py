@@ -34,7 +34,16 @@ def make_multistream_step(cfg, K, mesh: Mesh | None = None, axis: str = "data"):
     argument/result has a leading stream dim sharded over ``axis`` of ``mesh`` (or
     unsharded when ``mesh`` is None), and ``agg`` is a dict of fleet-wide scalar
     metrics whose cross-stream sum XLA lowers to an AllReduce over ICI.
+
+    When ``mesh`` is None and ``cfg.runtime.mesh_shape`` is set, the mesh comes
+    from the config (:func:`lcvo_tpu.parallel.mesh.mesh_from_config`) with its
+    first axis as the stream axis.
     """
+    if mesh is None and tuple(cfg.runtime.mesh_shape):
+        from lcvo_tpu.parallel.mesh import mesh_from_config
+
+        mesh = mesh_from_config(cfg)
+        axis = mesh.axis_names[0]
     pf = make_process_frame(cfg, K)
     batched = jax.vmap(pf)
 

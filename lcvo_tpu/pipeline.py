@@ -540,10 +540,12 @@ class VisualOdometry:
     def run_chunked(self, frames: np.ndarray, chunk: int = 16):
         """Replay a whole sequence in device-resident chunks (bootstrap first).
 
-        ``frames``: (T, H, W). Poses for the scanned frames are appended to
-        ``self.trajectory`` (one per frame — failure recovery keeps the count
-        exact, like :meth:`run`). Tail frames that don't fill a chunk run through
-        the per-frame path.
+        ``frames``: (T, H, W). Poses are appended to ``self.trajectory`` with the
+        same convention as :meth:`run` — one pose per frame from frame ``gap``
+        onward (the bootstrap-end pose first), kept exact across failure
+        recovery — so ground-truth alignment is ``gt[gap : gap + len(traj)]`` in
+        both driver modes. Tail frames that don't fill a chunk run through the
+        per-frame path.
 
         Failure recovery in throughput mode: the scanned step carries the same
         health counter as the per-frame path; if a chunk ends with tracking
@@ -557,6 +559,9 @@ class VisualOdometry:
         gap = cfg.bootstrap.frame_gap
         skip = max(cfg.bootstrap.rebootstrap_skip, 1)
         self.bootstrap([frames[i] for i in range(gap + 1)])
+        self.trajectory.append(
+            -np.asarray(self.state.R).T @ np.asarray(self.state.t)
+        )
         chunk_fn = self.make_chunk_step(chunk)
         i = gap + 1
         T = len(frames)
@@ -724,7 +729,10 @@ class VisualOdometry:
             res = self.step(img)
             self.record(res)
             if on_frame is not None:
-                on_frame(len(self.results) - 1, res)
+                # index by the trajectory (restored across --resume), not the
+                # session-local results list — keeps the per-frame record stream
+                # index-exact after a checkpoint resume
+                on_frame(len(self.trajectory) - 1, res)
             if int(self.state.health) >= 2:
                 # tracking collapsed → re-bootstrap from the current frame burst
                 rebootstrap_buf = [img]

@@ -102,17 +102,21 @@ def plot_trajectory(est: np.ndarray, gt: np.ndarray | None, path: str, title: st
     plt.close(fig)
 
 
-def export_video(frame_dir: str, out_path: str, fps: int = 20):
+def export_video(frame_dir: str, out_path: str, fps: int = 20, prefix: str = "dash_"):
     """Stitch dumped dashboard PNGs into a video (the reference's
     ``export_video.py``: cv2.VideoWriter mp4v at 20 fps).
 
-    Writer selection: ffmpeg mp4 when available; otherwise an animated GIF via
-    PIL (always present). Returns the path actually written, or an explanatory
-    string if every writer failed (frames are kept either way).
+    Only files matching ``prefix*.png`` are stitched — the run directory also
+    holds trajectory plots of a different size. Writer selection: ffmpeg mp4
+    when available; otherwise an animated GIF via PIL (always present). Returns
+    the path actually written, or an explanatory string if every writer failed
+    (frames are kept either way).
     """
-    names = sorted(n for n in os.listdir(frame_dir) if n.endswith(".png"))
+    names = sorted(
+        n for n in os.listdir(frame_dir) if n.endswith(".png") and n.startswith(prefix)
+    )
     if not names:
-        raise ValueError(f"no frames in {frame_dir}")
+        raise ValueError(f"no {prefix}*.png frames in {frame_dir}")
     paths = [os.path.join(frame_dir, n) for n in names]
     try:
         import matplotlib

@@ -124,10 +124,10 @@ def test_chunked_mode_rebootstraps_after_corruption(cfg):
     vo = VisualOdometry(cfg, seq2.K)
     traj = vo.run_chunked(frames, chunk=8)
     gap = cfg.bootstrap.frame_gap
-    assert len(traj) == 48 - (gap + 1), (len(traj), 48 - gap - 1)
+    assert len(traj) == 48 - gap, (len(traj), 48 - gap)
     # recovered: the last chunk tracked with a healthy pose chain
     assert int(vo.state.health) == 0
-    gt = seq2.gt_positions()[gap + 1 : gap + 1 + len(traj)]
+    gt = seq2.gt_positions()[gap : gap + len(traj)]
     ate = ate_rmse(np.asarray(traj), gt)
     assert np.isfinite(ate) and ate < 3.0, f"chunked-recovery ATE {ate:.2f} m"
 

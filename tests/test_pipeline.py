@@ -145,8 +145,8 @@ def test_chunked_ba_matches_per_frame(seq):
     vo_b = VisualOdometry(cfg, seq.K)
     vo_b.run_chunked(frames, chunk=8)
 
-    # run() records one extra pose at bootstrap time; run_chunked starts at gap+1
-    est_a = np.asarray(vo_a.trajectory)[1:]
+    # both driver modes share the convention: trajectory[0] is frame gap's pose
+    est_a = np.asarray(vo_a.trajectory)
     est_b = np.asarray(vo_b.trajectory)
     n = min(len(est_a), len(est_b))
     assert n >= 30

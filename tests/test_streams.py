@@ -1,0 +1,75 @@
+"""Multi-stream (DP) step: config-driven mesh wiring + sharded execution on the
+virtual 8-device CPU mesh (SURVEY §2.3 DP row; runtime.mesh_shape/mesh_axes)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lcvo_tpu.config import load_config
+from lcvo_tpu.data.synthetic import make_intrinsics
+from lcvo_tpu.parallel.streams import make_batched_state, make_multistream_step
+
+W, H = 160, 96
+
+
+def _cfg(**over):
+    return load_config(overrides={
+        "image_width": W, "image_height": H,
+        "state": {"max_tracks": 64, "max_candidates": 96, "max_new_per_frame": 32},
+        "ransac": {"pnp_hypotheses": 64, "e_hypotheses": 64},
+        "klt": {"levels": 2, "iters": 3},
+        **over,
+    })
+
+
+def _seeded_states(cfg, n_streams, rng):
+    states = make_batched_state(cfg, (H, W), n_streams)
+    P = rng.uniform([16, 16], [W - 16, H - 16], size=(n_streams, 16, 2)).astype(np.float32)
+    X = rng.uniform([-2, -1, 4], [2, 1, 12], size=(n_streams, 16, 3)).astype(np.float32)
+    return states._replace(tracks=states.tracks._replace(
+        P=states.tracks.P.at[:, :16].set(P),
+        X=states.tracks.X.at[:, :16].set(X),
+        valid=states.tracks.valid.at[:, :16].set(True),
+    ))
+
+
+def test_mesh_from_config_drives_multistream_step():
+    """runtime.mesh_shape/mesh_axes must build the mesh when none is passed —
+    the config-driven path a production launcher uses."""
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest must provide the virtual 8-device mesh"
+    cfg = _cfg(runtime={"mesh_shape": [8], "mesh_axes": ["data"]})
+    step = make_multistream_step(cfg, make_intrinsics(W, H))
+
+    rng = np.random.default_rng(0)
+    n_streams = 8
+    states = _seeded_states(cfg, n_streams, rng)
+    imgs = jnp.asarray(rng.uniform(0, 255, (n_streams, H, W)), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_streams)
+    states, results, agg = step(states, imgs, keys)
+    # sharded over all 8 devices; aggregate metrics replicated scalars
+    assert len(states.tracks.P.sharding.device_set) == 8
+    assert agg["tracked"].shape == ()
+    assert int(agg["pose_ok"]) >= 0
+    assert results.R.shape == (n_streams, 3, 3)
+
+
+def test_multistream_unsharded_matches_single_stream():
+    """Without a mesh the vmapped step must agree with per-stream process_frame."""
+    from lcvo_tpu.pipeline import make_process_frame
+
+    # donation off: the batched input state is re-read for the reference step
+    cfg = _cfg(runtime={"donate_state": False})
+    K = make_intrinsics(W, H)
+    step = make_multistream_step(cfg, K)
+    rng = np.random.default_rng(1)
+    states = _seeded_states(cfg, 2, rng)
+    imgs = jnp.asarray(rng.uniform(0, 255, (2, H, W)), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(1), 2)
+    out_states, results, agg = step(states, imgs, keys)
+
+    pf = jax.jit(make_process_frame(cfg, K))
+    s0 = jax.tree_util.tree_map(lambda x: x[0], states)
+    _, r0 = pf(s0, imgs[0], keys[0])
+    np.testing.assert_allclose(np.asarray(results.t[0]), np.asarray(r0.t), atol=1e-5)
+    assert int(agg["tracked"]) == int(np.asarray(results.n_tracked).sum())
