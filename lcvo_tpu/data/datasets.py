@@ -71,7 +71,9 @@ def kitti(root: str, sequence: str = "05") -> SequenceDataset:
     """KITTI odometry grayscale (reference ``src/main.py:14-29``).
 
     ``root`` contains ``<sequence>/image_0/*.png`` and ``poses/<sequence>.txt``.
-    K and bootstrap pair [0, 6] follow the reference.
+    Intrinsics come from ``<sequence>/calib.txt`` (``P0:`` row) when present —
+    the standard KITTI layout — falling back to the reference's hard-coded K
+    (``src/main.py:16-21``). Bootstrap pair [0, 6] follows the reference.
     """
     img_dir = os.path.join(root, sequence, "image_0")
     names = sorted(n for n in os.listdir(img_dir) if n.endswith(".png"))
@@ -81,6 +83,16 @@ def kitti(root: str, sequence: str = "05") -> SequenceDataset:
     K = np.array(
         [[718.856, 0, 607.1928], [0, 718.856, 185.2157], [0, 0, 1]], np.float64
     )
+    calib_path = os.path.join(root, sequence, "calib.txt")
+    if os.path.exists(calib_path):
+        with open(calib_path) as fh:
+            for line in fh:
+                if line.startswith("P0:"):
+                    p = np.fromstring(line.split(":", 1)[1], sep=" ")
+                    if p.size == 12:
+                        P0 = p.reshape(3, 4)
+                        K = P0[:, :3].astype(np.float64)
+                    break
     return SequenceDataset("kitti", K, paths, bootstrap_pair=(0, 6), gt=gt)
 
 

@@ -96,7 +96,10 @@ class MetricsLogger:
         import statistics
 
         return {
-            "frames": len(self.rows),
+            # per-frame metric rows (continuous-operation steps only — bootstrap
+            # and held recovery poses have no metrics row); named distinctly so
+            # it can't clobber the driver's trajectory-length "frames"
+            "metric_rows": len(self.rows),
             "pose_ok_rate": sum(r["pose_ok"] for r in self.rows) / len(self.rows),
             "mean_tracked": statistics.fmean(r["tracked"] for r in self.rows),
             "mean_inliers": statistics.fmean(r["inliers"] for r in self.rows),

@@ -59,6 +59,46 @@ def test_parking_adapter(tmp_path):
     assert ds.frame(0).shape == (24, 32)
 
 
+def test_cli_kitti_format_end_to_end(tmp_path):
+    """Full product flow on a generated KITTI-layout dataset: rendered synthetic
+    frames written as PNGs (decoded back through the native C++ loader),
+    calib.txt P0 intrinsics, poses file — through the CLI to a bounded ATE.
+    This is the closest real-dataset rehearsal possible without KITTI itself."""
+    from PIL import Image
+
+    from lcvo_tpu.data.synthetic import SyntheticSequence
+
+    n = 26
+    seq = SyntheticSequence(n_frames=n, width=320, height=128, speed=0.3)
+    root = tmp_path / "kitti-dataset"
+    (root / "05" / "image_0").mkdir(parents=True)
+    (root / "poses").mkdir()
+    for i in range(n):
+        Image.fromarray(np.clip(seq.frame(i), 0, 255).astype(np.uint8)).save(
+            root / "05" / "image_0" / f"{i:06d}.png"
+        )
+    rows = []
+    for i in range(n):
+        P = np.hstack([seq.R_wc[i], seq.t_wc[i].reshape(3, 1)])
+        rows.append(P.reshape(-1))
+    np.savetxt(root / "poses" / "05.txt", np.stack(rows))
+    K = seq.K
+    p0 = np.hstack([K, np.zeros((3, 1))]).reshape(-1)
+    (root / "05" / "calib.txt").write_text(
+        "P0: " + " ".join(f"{v:.12e}" for v in p0) + "\n"
+    )
+
+    from lcvo_tpu.cli import run as cli
+
+    out = cli.main([
+        "--dataset", "kitti", "--data-root", str(tmp_path),
+        "--frames", str(n), "--out", str(tmp_path / "run"),
+    ])
+    assert out["frames"] == n - 6  # KITTI bootstrap pair [0, 6]
+    assert out["ate_rmse_m"] < 0.5, out
+    assert out["pose_ok_rate"] > 0.9
+
+
 def test_malaga_adapter(tmp_path):
     """Generated Malaga extract-07 fixture: left/right jpg stream + '%'-headed GPS
     log with local x/y in cols 8/9 (reference ``src/main.py:31-47``)."""
