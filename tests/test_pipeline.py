@@ -54,6 +54,28 @@ def test_full_run_matches_ground_truth(seq):
     assert err < 0.5, f"ATE {err:.3f} m too large"
 
 
+def test_reference_preset_end_to_end(seq):
+    """configs/reference.yaml — the reference-matched operating point (5-point
+    essential RANSAC, SIFT descriptor-matching init, 21x21/10 KLT, sift-sift
+    candidates) — must run end to end within the ATE bound."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "configs", "reference.yaml")
+    cfg = load_config(path, overrides={
+        "image_width": 320, "image_height": 128,
+        "descriptor": {"max_keypoints": 384},
+    })
+    vo = VisualOdometry(cfg, seq.K)
+    n = 30
+    vo.run(seq.frames(), n_frames=n)
+    est = np.asarray(vo.trajectory)
+    gap = cfg.bootstrap.frame_gap
+    assert len(est) == n - gap
+    gt = seq.gt_positions()[gap : gap + len(est)]
+    err = ate_rmse(est, gt)
+    assert err < 0.5, f"reference-preset ATE {err:.3f} m"
+
+
 def test_weak_bootstrap_extension_keeps_alignment(seq):
     """An unsatisfiable bootstrap.min_matches forces the quality-gate extension
     path (window grows one frame at a time, bounded); the trajectory must still
