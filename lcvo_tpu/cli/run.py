@@ -77,8 +77,25 @@ def main(argv=None) -> dict:
 
     t0 = time.perf_counter()
     if args.chunked:
-        frames = np.stack([ds.frame(i) for i in range(n_frames)])
-        vo.run_chunked(frames)
+        # streaming throughput mode: decode-ahead Prefetcher feeds the scanned
+        # step chunk-by-chunk — O(chunk) host memory at any sequence length
+        # (the reference also streams one imread per frame, src/main.py:216-226)
+        def on_chunk(start, Rs, ts, ok, ninl):
+            for j in range(len(ok)):
+                metrics.log_chunk_frame(start + j, bool(ok[j]), int(ninl[j]))
+
+        if args.resume:
+            start = vo.resume(args.resume)
+            pf = Prefetcher(ds, start=start, depth=cfg.runtime.prefetch_depth)
+            vo.run_chunked_continue(pf, produced=start, n_frames=n_frames,
+                                    checkpoint_every=args.checkpoint_every,
+                                    checkpoint_path=ckpt_path, on_chunk=on_chunk)
+        else:
+            pf = Prefetcher(ds, depth=cfg.runtime.prefetch_depth)
+            vo.run_chunked(pf, n_frames=n_frames,
+                           checkpoint_every=args.checkpoint_every,
+                           checkpoint_path=ckpt_path, on_chunk=on_chunk)
+        pf.close()
     else:
         def on_frame(i, res):
             metrics.log_frame(i, res)
@@ -106,9 +123,11 @@ def main(argv=None) -> dict:
                             on_frame=on_frame, checkpoint_every=args.checkpoint_every,
                             checkpoint_path=ckpt_path)
         else:
-            vo.run(Prefetcher(ds, depth=cfg.runtime.prefetch_depth), n_frames,
+            pf = Prefetcher(ds, depth=cfg.runtime.prefetch_depth)
+            vo.run(pf, n_frames,
                    on_frame=on_frame, checkpoint_every=args.checkpoint_every,
                    checkpoint_path=ckpt_path)
+            pf.close()
     wall = time.perf_counter() - t0
 
     est = np.asarray(vo.trajectory)
@@ -130,6 +149,22 @@ def main(argv=None) -> dict:
         rmse, med = rpe_stats(est[:n], gt_al[:n])
         summary["rpe_rmse_m"] = round(rmse, 4)
         summary["rpe_median_m"] = round(med, 4)
+        # standard RPE (per-interval relative pose, rotation included) when the
+        # dataset carries full GT poses; GPS-only GT (Malaga) stays positions-only
+        gt_T = ds.gt_poses()
+        if gt_T is not None and len(vo.poses) >= n:
+            from lcvo_tpu.metrics import kitti_odometry_error, rpe_pose
+
+            est_T = np.asarray(vo.poses[:n])
+            gt_T_al = gt_T[gap : gap + n]
+            if len(gt_T_al) == n:
+                rp = rpe_pose(est_T, gt_T_al)
+                summary["rpe_trans_rmse_m"] = round(rp["trans_rmse_m"], 4)
+                summary["rpe_rot_rmse_deg"] = round(rp["rot_rmse_deg"], 4)
+                t_pct, r_dpm, nseg = kitti_odometry_error(est_T, gt_T_al)
+                if nseg:
+                    summary["kitti_t_err_pct"] = round(t_pct, 3)
+                    summary["kitti_r_err_deg_per_m"] = round(r_dpm, 5)
         plot_trajectory(est, gt_al, os.path.join(args.out, "trajectory.png"),
                         title=f"{cfg.dataset}: ATE {summary.get('ate_rmse_m')} m")
     else:

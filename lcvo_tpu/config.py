@@ -25,7 +25,9 @@ class DetectorConfig:
     ``src/vo_pipeline.py:86-87,382`` and SIFT usage at ``:95-104,417-444``."""
 
     method: str = "shi"            # 'shi' | 'harris' | 'sift'
-    max_corners: int = 600         # reference :86 (init) / 500 (:382, per-frame)
+    max_corners: int = 1024        # cap on corners returned per detection call
+    #   (reference: 600 init / 500 per-frame, :86/:382; here the default matches
+    #    the table capacities so capacity fields govern unless the user lowers it)
     quality_level: float = 0.03    # reference :86-87
     min_distance: int = 10         # reference :86-87 (NMS radius, px)
     # Grid-cell NMS (static-shape replacement for OpenCV's sorted greedy NMS):
@@ -121,9 +123,10 @@ class BAConfig:
 
     enabled: bool = False
     window: int = 10               # keyframes in the window
-    max_points: int = 512          # landmark capacity inside the window
+    #   (landmark capacity inside the window is state.max_tracks — the window
+    #    refines the live track table in place, solve/ba/window.py)
     gn_iters: int = 5
-    damping: float = 1e-3          # Levenberg-Marquardt diagonal damping
+    damping: float = 1e-4          # initial LM diagonal damping (lam0 of ba_solve)
     huber_px: float = 2.0
     keyframe_every: int = 5        # simple keyframe cadence
 

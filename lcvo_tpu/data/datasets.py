@@ -44,6 +44,7 @@ class SequenceDataset:
     frame_paths: list
     bootstrap_pair: tuple = (0, 6)
     gt: np.ndarray | None = None     # (N, 3) world positions, or None
+    gt_T: np.ndarray | None = None   # (N, 4, 4) cam→world poses, or None
 
     @property
     def n_frames(self) -> int:
@@ -59,10 +60,24 @@ class SequenceDataset:
     def gt_positions(self) -> np.ndarray | None:
         return self.gt
 
+    def gt_poses(self) -> np.ndarray | None:
+        """Full (N, 4, 4) cam→world ground-truth poses when the dataset provides
+        rotations (KITTI/parking pose files, synthetic); None for GPS-only GT
+        (Malaga) — positions-only metrics still apply there."""
+        return self.gt_T
+
+
+def _pose_txt_poses(path: str) -> np.ndarray:
+    """KITTI-style pose file: rows of flattened 3x4 [R|t] cam→world. Returns
+    (N, 4, 4) homogeneous poses; camera centers are the translation columns."""
+    P = np.loadtxt(path)
+    T = np.tile(np.eye(4), (len(P), 1, 1))
+    T[:, :3, :4] = P.reshape(-1, 3, 4)
+    return T
+
 
 def _pose_txt_positions(path: str) -> np.ndarray:
-    """KITTI-style pose file: rows of flattened 3x4 [R|t]; camera centers are the
-    translation columns (poses are cam→world in KITTI, so t IS the position)."""
+    """Camera centers from a KITTI-style pose file (see :func:`_pose_txt_poses`)."""
     P = np.loadtxt(path)
     return P[:, [3, 7, 11]]
 
@@ -79,7 +94,10 @@ def kitti(root: str, sequence: str = "05") -> SequenceDataset:
     names = sorted(n for n in os.listdir(img_dir) if n.endswith(".png"))
     paths = [os.path.join(img_dir, n) for n in names]
     gt_path = os.path.join(root, "poses", f"{sequence}.txt")
-    gt = _pose_txt_positions(gt_path) if os.path.exists(gt_path) else None
+    gt = gt_T = None
+    if os.path.exists(gt_path):
+        gt_T = _pose_txt_poses(gt_path)
+        gt = gt_T[:, :3, 3].copy()
     K = np.array(
         [[718.856, 0, 607.1928], [0, 718.856, 185.2157], [0, 0, 1]], np.float64
     )
@@ -93,12 +111,26 @@ def kitti(root: str, sequence: str = "05") -> SequenceDataset:
                         P0 = p.reshape(3, 4)
                         K = P0[:, :3].astype(np.float64)
                     break
-    return SequenceDataset("kitti", K, paths, bootstrap_pair=(0, 6), gt=gt)
+    return SequenceDataset("kitti", K, paths, bootstrap_pair=(0, 6), gt=gt, gt_T=gt_T)
+
+
+def _malaga_image_stamp(name: str) -> float | None:
+    """Timestamp embedded in a Malaga image filename
+    (``img_CAMERA1_<epoch.seconds>_left.jpg``)."""
+    import re
+
+    m = re.search(r"_([0-9]+\.[0-9]+)_left", name)
+    return float(m.group(1)) if m else None
 
 
 def malaga(root: str) -> SequenceDataset:
     """Malaga urban extract-07 (reference ``src/main.py:31-47``): left images of the
-    rectified 800x600 stereo stream; GPS local x/y (cols 8, 9) as ground truth."""
+    rectified 800x600 stereo stream; GPS local x/y (cols 8, 9) as ground truth.
+
+    The GPS log is ~1 Hz while images stream at ~7.5 fps, so GT is associated by
+    TIMESTAMP: each image's filename stamp is interpolated into the GPS track
+    (the reference plotted raw GPS rows against frame indices,
+    ``src/main.py:31-47`` — meaningless for per-frame error on real data)."""
     img_dir = os.path.join(root, "malaga-urban-dataset-extract-07_rectified_800x600_Images")
     names = sorted(n for n in os.listdir(img_dir) if n.endswith("left.jpg"))
     paths = [os.path.join(img_dir, n) for n in names]
@@ -107,7 +139,16 @@ def malaga(root: str) -> SequenceDataset:
     if os.path.exists(gps_path):
         # real Malaga GPS logs carry a '%'-prefixed header line
         g = np.loadtxt(gps_path, comments="%")
-        gt = np.stack([g[:, 8], np.zeros(len(g)), g[:, 9]], axis=-1)
+        g = np.atleast_2d(g)
+        stamps = [_malaga_image_stamp(n) for n in names]
+        if all(s is not None for s in stamps) and len(g) >= 2:
+            ts = np.asarray(stamps, np.float64)
+            order = np.argsort(g[:, 0])
+            gx = np.interp(ts, g[order, 0], g[order, 8])
+            gy = np.interp(ts, g[order, 0], g[order, 9])
+            gt = np.stack([gx, np.zeros(len(ts)), gy], axis=-1)
+        else:  # stamp-less fixtures: fall back to row-per-frame
+            gt = np.stack([g[:, 8], np.zeros(len(g)), g[:, 9]], axis=-1)
     K = np.array(
         [[621.18428, 0, 404.0076], [0, 621.18428, 309.05989], [0, 0, 1]], np.float64
     )
@@ -121,9 +162,12 @@ def parking(root: str) -> SequenceDataset:
     names = sorted(n for n in os.listdir(img_dir) if n.endswith(".png"))
     paths = [os.path.join(img_dir, n) for n in names]
     gt_path = os.path.join(root, "poses.txt")
-    gt = _pose_txt_positions(gt_path) if os.path.exists(gt_path) else None
+    gt = gt_T = None
+    if os.path.exists(gt_path):
+        gt_T = _pose_txt_poses(gt_path)
+        gt = gt_T[:, :3, 3].copy()
     K = np.array([[331.37, 0, 320], [0, 369.568, 240], [0, 0, 1]], np.float64)
-    return SequenceDataset("parking", K, paths, bootstrap_pair=(0, 4), gt=gt)
+    return SequenceDataset("parking", K, paths, bootstrap_pair=(0, 4), gt=gt, gt_T=gt_T)
 
 
 def load_dataset(name: str, data_root: str) -> SequenceDataset:
@@ -147,12 +191,16 @@ class SyntheticDataset(SequenceDataset):
         from lcvo_tpu.data.synthetic import SyntheticSequence
 
         self._seq = SyntheticSequence(n_frames=n_frames, **kw)
+        T = np.tile(np.eye(4), (n_frames, 1, 1))
+        T[:, :3, :3] = self._seq.R_wc
+        T[:, :3, 3] = self._seq.t_wc
         super().__init__(
             name="synthetic",
             K=self._seq.K,
             frame_paths=list(range(n_frames)),
             bootstrap_pair=(0, 6),
             gt=self._seq.gt_positions(),
+            gt_T=T,
         )
 
     def frame(self, i: int) -> np.ndarray:

@@ -43,10 +43,13 @@ def ate_rmse(est_positions: np.ndarray, gt_positions: np.ndarray, with_scale: bo
 
 
 def rpe_stats(est_positions: np.ndarray, gt_positions: np.ndarray, delta: int = 1, with_scale: bool = True):
-    """Relative pose (translation-drift) error over ``delta``-frame intervals.
+    """Translation-drift statistic over ``delta``-frame intervals (NOT the standard
+    RPE — per-interval translation deltas after one global Sim(3) alignment; kept
+    as a cheap trend metric). For the conventional metric see :func:`rpe_pose`
+    (per-interval relative pose, rotation included) and
+    :func:`kitti_odometry_error`.
 
-    Returns (rmse, median) of per-interval translation error after global Sim(3)
-    alignment, meters.
+    Returns (rmse, median) of per-interval translation error, meters.
     """
     est = np.asarray(est_positions, np.float64)
     gt = np.asarray(gt_positions, np.float64)
@@ -56,6 +59,83 @@ def rpe_stats(est_positions: np.ndarray, gt_positions: np.ndarray, delta: int = 
     d_gt = gt[delta:] - gt[:-delta]
     err = np.linalg.norm(d_est - d_gt, axis=1)
     return float(np.sqrt(np.mean(err**2))), float(np.median(err))
+
+
+def _rot_angle_deg(R: np.ndarray) -> np.ndarray:
+    """Rotation angle(s) of (…, 3, 3) rotation matrices, degrees."""
+    tr = np.trace(R, axis1=-2, axis2=-1)
+    c = np.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    return np.degrees(np.arccos(c))
+
+
+def _scale_corrected(est_T: np.ndarray, gt_T: np.ndarray) -> np.ndarray:
+    """Monocular scale correction: multiply est translations by the Sim(3)
+    (Umeyama) scale fitted on positions. Rotations are untouched."""
+    s, _, _ = umeyama_alignment(est_T[:, :3, 3], gt_T[:, :3, 3])
+    out = est_T.copy()
+    out[:, :3, 3] *= s
+    return out
+
+
+def rpe_pose(est_T: np.ndarray, gt_T: np.ndarray, delta: int = 1, with_scale: bool = True) -> dict:
+    """Standard relative pose error (TUM convention) over ``delta``-frame intervals.
+
+    ``est_T``, ``gt_T``: (N, 4, 4) cam→world poses. Per interval i the error motion
+    is ``E_i = (Q_i^-1 Q_{i+Δ})^-1 (P_i^-1 P_{i+Δ})`` with Q = gt, P = est — each
+    interval aligned by its own starting pose (unlike :func:`rpe_stats`'s single
+    global alignment). Monocular scale is corrected globally first (Sim(3) scale on
+    positions; rotations untouched).
+
+    Returns dict with translation RMSE/median (m per interval) and rotation
+    RMSE/median (deg per interval).
+    """
+    est = np.asarray(est_T, np.float64)
+    gt = np.asarray(gt_T, np.float64)
+    assert est.shape == gt.shape and est.ndim == 3, (est.shape, gt.shape)
+    if with_scale:
+        est = _scale_corrected(est, gt)
+    rel = lambda T: np.linalg.inv(T[:-delta]) @ T[delta:]
+    E = np.linalg.inv(rel(gt)) @ rel(est)
+    t_err = np.linalg.norm(E[:, :3, 3], axis=1)
+    r_err = _rot_angle_deg(E[:, :3, :3])
+    return {
+        "trans_rmse_m": float(np.sqrt(np.mean(t_err**2))),
+        "trans_median_m": float(np.median(t_err)),
+        "rot_rmse_deg": float(np.sqrt(np.mean(r_err**2))),
+        "rot_median_deg": float(np.median(r_err)),
+    }
+
+
+def kitti_odometry_error(est_T: np.ndarray, gt_T: np.ndarray,
+                         lengths=(100, 200, 300, 400, 500, 600, 700, 800),
+                         step: int = 10, with_scale: bool = True):
+    """KITTI odometry benchmark metric: translation % and rotation deg/m, averaged
+    over all subsequences of the given path lengths (meters), sampled every
+    ``step`` frames. Returns (t_err_pct, r_err_deg_per_m, n_segments); (None,
+    None, 0) when the trajectory is shorter than the smallest segment length.
+    """
+    est = np.asarray(est_T, np.float64)
+    gt = np.asarray(gt_T, np.float64)
+    if with_scale:
+        est = _scale_corrected(est, gt)
+    # cumulative ground-truth path length per frame
+    d = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1)
+    dist = np.concatenate([[0.0], np.cumsum(d)])
+    t_errs, r_errs = [], []
+    for first in range(0, len(est), step):
+        for L in lengths:
+            # first frame whose gt path length from `first` reaches L
+            ends = np.searchsorted(dist, dist[first] + L)
+            if ends >= len(est):
+                break
+            rel_gt = np.linalg.inv(gt[first]) @ gt[ends]
+            rel_est = np.linalg.inv(est[first]) @ est[ends]
+            E = np.linalg.inv(rel_gt) @ rel_est
+            t_errs.append(np.linalg.norm(E[:3, 3]) / L)
+            r_errs.append(_rot_angle_deg(E[:3, :3]) / L)
+    if not t_errs:
+        return None, None, 0
+    return (float(np.mean(t_errs) * 100.0), float(np.mean(r_errs)), len(t_errs))
 
 
 class MetricsLogger:
@@ -85,6 +165,17 @@ class MetricsLogger:
             self._fh.write(json.dumps(row) + "\n")
         return row
 
+    def log_chunk_frame(self, frame_idx: int, pose_ok: bool, inliers: int) -> dict:
+        """Reduced per-frame row for throughput (chunked-scan) mode, where only
+        (R, t, pose_ok, n_inliers) come back from the device per frame."""
+        row = {"frame": int(frame_idx), "pose_ok": bool(pose_ok), "inliers": int(inliers)}
+        self.rows.append(row)
+        if self._fh:
+            import json
+
+            self._fh.write(json.dumps(row) + "\n")
+        return row
+
     def close(self):
         if self._fh:
             self._fh.close()
@@ -95,13 +186,17 @@ class MetricsLogger:
             return {}
         import statistics
 
-        return {
+        out = {
             # per-frame metric rows (continuous-operation steps only — bootstrap
             # and held recovery poses have no metrics row); named distinctly so
             # it can't clobber the driver's trajectory-length "frames"
             "metric_rows": len(self.rows),
             "pose_ok_rate": sum(r["pose_ok"] for r in self.rows) / len(self.rows),
-            "mean_tracked": statistics.fmean(r["tracked"] for r in self.rows),
             "mean_inliers": statistics.fmean(r["inliers"] for r in self.rows),
-            "mean_reproj_rms_px": statistics.fmean(r["reproj_rms_px"] for r in self.rows),
         }
+        # full rows only (chunked-scan rows are reduced to pose_ok/inliers)
+        full = [r for r in self.rows if "tracked" in r]
+        if full:
+            out["mean_tracked"] = statistics.fmean(r["tracked"] for r in full)
+            out["mean_reproj_rms_px"] = statistics.fmean(r["reproj_rms_px"] for r in full)
+        return out

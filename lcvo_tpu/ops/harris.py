@@ -61,12 +61,13 @@ def detect_corners(
     method: str = "shi",
     window: int = 3,
     border: int = 8,
+    harris_k: float = 0.04,
 ):
     """Detect up to ``max_corners`` corners. Returns (pts (N,2) [x,y] float32,
     score (N,), valid (N,) bool) with N = max_corners, strongest first.
     """
     H, W = img.shape
-    score = corner_score(img, window=window, method=method)
+    score = corner_score(img, window=window, method=method, harris_k=harris_k)
     is_max = _local_max(score)
 
     yy = lax.broadcasted_iota(jnp.int32, (H, W), 0)

@@ -155,7 +155,7 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
         if mode in ("shi-mask", "harris-mask"):
             pts_det, _, det_ok = harris.detect_corners(
                 image,
-                max_corners=cfg.state.max_new_per_frame,
+                max_corners=min(det.max_corners, cfg.state.max_new_per_frame),
                 quality_level=det.quality_level,
                 cells_y=det.grid_cells_y,
                 cells_x=det.grid_cells_x,
@@ -163,6 +163,7 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
                 method=mode.split("-")[0],
                 window=det.window,
                 border=kltc.border,
+                harris_k=det.harris_k,
             )
         elif mode in ("sift-mask", "sift-sift"):
             feats = sift_detect(
@@ -253,7 +254,7 @@ def make_bootstrap_fns(cfg: VOConfig, K: np.ndarray):
         det = cfg.detector
         pts, score, ok = harris.detect_corners(
             image,
-            max_corners=cfg.state.max_tracks,
+            max_corners=min(det.max_corners, cfg.state.max_tracks),
             quality_level=det.quality_level,
             cells_y=det.grid_cells_y,
             cells_x=det.grid_cells_x,
@@ -261,6 +262,7 @@ def make_bootstrap_fns(cfg: VOConfig, K: np.ndarray):
             method=det.method if det.method in ("shi", "harris") else "shi",
             window=det.window,
             border=kltc.border,
+            harris_k=det.harris_k,
         )
         return pts, ok
 
@@ -333,6 +335,7 @@ class VisualOdometry:
         self.state: st.VOState | None = None
         self._key = jax.random.PRNGKey(cfg.seed)
         self.trajectory: list[np.ndarray] = []  # camera centers (world)
+        self.poses: list[np.ndarray] = []       # (4,4) cam→world, one per trajectory entry
         self.results: list = []
         # sliding-window BA (BASELINE config 3; reference future work, report §3.2)
         self.window = None
@@ -348,12 +351,21 @@ class VisualOdometry:
         return k
 
     # -- bootstrap ---------------------------------------------------------
-    def bootstrap(self, frames: list[np.ndarray], R0: np.ndarray | None = None, t0: np.ndarray | None = None):
+    def bootstrap(self, frames: list[np.ndarray], R0: np.ndarray | None = None,
+                  t0: np.ndarray | None = None, scale: float | None = None):
         """Initialize from a short frame burst (length = bootstrap gap + 1).
 
         Optional (R0, t0) anchors the first bootstrap camera at a known world pose —
         used by re-bootstrap to keep the map in one frame (fixes the reference's
         camera-frame/world-frame merge, SURVEY §2.1).
+
+        Optional ``scale`` sets the metric length of the two-view baseline
+        (``recover_pose`` returns ||t|| = 1): re-bootstrap passes the expected
+        baseline from the pre-failure velocity so the re-triangulated map keeps
+        the trajectory's metric scale — the scale seam the reference never
+        closed (its fallback merges an arbitrarily-scaled map,
+        ``src/vo_pipeline.py:314-324``). ``None`` keeps the unit baseline (the
+        initial bootstrap, where monocular scale is free).
         """
         cfg = self.cfg
         imgs = [jnp.asarray(f, jnp.float32) for f in frames]
@@ -391,6 +403,12 @@ class VisualOdometry:
             for i in range(len(imgs) - 1):
                 pts, ok = self._track_pair(pyrs[i], pyrs[i + 1], pts, ok)
         R, t, X, good, n_inl = self._two_view(self._next_key(), pts0, pts, ok)
+        if scale is not None and np.isfinite(scale) and scale > 1e-6:
+            # uniform scaling of the two-view geometry preserves all image
+            # observations: baseline ||t|| = scale, landmarks scale with it
+            s = jnp.float32(scale)
+            t = t * s
+            X = X * s
 
         # anchor into world frame: cam0 pose = (R0, t0) (identity on first bootstrap)
         if R0 is None:
@@ -460,15 +478,38 @@ class VisualOdometry:
             iters=cfg.ba.gn_iters,
             n_fix=min(2, cfg.ba.window - 1),
             huber=cfg.ba.huber_px / float(self.K[0, 0]),
+            lam0=cfg.ba.damping,
         )
         self.window = win
         self.state = st_._replace(tracks=tracks, R=R, t=t)
 
     def record(self, res: FrameResult):
-        R = np.asarray(res.R)
-        t = np.asarray(res.t)
-        self.trajectory.append(-R.T @ t)
+        self._append_pose(np.asarray(res.R), np.asarray(res.t))
         self.results.append(res)
+
+    def _append_pose(self, R: np.ndarray, t: np.ndarray):
+        """Append one world→camera pose to the trajectory as both a camera center
+        (``trajectory``) and a full 4x4 cam→world matrix (``poses``, for the
+        standard rotational RPE metrics)."""
+        T = np.eye(4)
+        T[:3, :3] = R.T
+        T[:3, 3] = -R.T @ t
+        self.trajectory.append(T[:3, 3].copy())
+        self.poses.append(T)
+
+    def _recent_step_scale(self, k: int = 12) -> float | None:
+        """Median per-frame translation over the last ``k`` healthy steps — the
+        pre-failure velocity used to propagate metric scale through re-bootstrap.
+        Held/frozen poses (zero displacement, recorded while tracking was already
+        collapsed) are excluded. Returns None when too little healthy motion."""
+        if len(self.trajectory) < 3:
+            return None
+        pts = np.asarray(self.trajectory[-(k + 1):])
+        d = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+        d = d[d > 1e-9]
+        if len(d) < 2:
+            return None
+        return float(np.median(d))
 
     # -- chunked throughput mode -------------------------------------------
     def make_chunk_step(self, chunk: int):
@@ -514,7 +555,8 @@ class VisualOdometry:
                     s2, w = sw
                     w2 = win_mod.push(w, s2.tracks, s2.R, s2.t)
                     w2, tracks, R, t, _ = win_mod.refine_window(
-                        w2, s2.tracks, Kj, iters=ba.gn_iters, n_fix=n_fix, huber=huber_n
+                        w2, s2.tracks, Kj, iters=ba.gn_iters, n_fix=n_fix,
+                        huber=huber_n, lam0=ba.damping,
                     )
                     return s2._replace(tracks=tracks, R=R, t=t), w2
 
@@ -537,61 +579,115 @@ class VisualOdometry:
         else:
             self.state, self.window = carry
 
-    def run_chunked(self, frames: np.ndarray, chunk: int = 16):
+    def run_chunked(self, frames, chunk: int = 16, n_frames: int | None = None,
+                    checkpoint_every: int = 0, checkpoint_path: str | None = None,
+                    on_chunk=None):
         """Replay a whole sequence in device-resident chunks (bootstrap first).
 
-        ``frames``: (T, H, W). Poses are appended to ``self.trajectory`` with the
-        same convention as :meth:`run` — one pose per frame from frame ``gap``
-        onward (the bootstrap-end pose first), kept exact across failure
-        recovery — so ground-truth alignment is ``gt[gap : gap + len(traj)]`` in
-        both driver modes. Tail frames that don't fill a chunk run through the
-        per-frame path.
+        ``frames``: a (T, H, W) array, OR any iterable of (H, W) frames — e.g. a
+        :class:`~lcvo_tpu.data.datasets.Prefetcher`. The streaming path holds at
+        most ``chunk`` decoded frames on the host at once, so full-length KITTI
+        replays (2,760 frames ≈ 5 GB staged) run in O(chunk) host memory — the
+        reference also streams one ``cv2.imread`` per frame
+        (``src/main.py:216-226``). Poses are appended with the same convention as
+        :meth:`run` — one pose per frame from frame ``gap`` onward (the
+        bootstrap-end pose first), kept exact across failure recovery — so
+        ground-truth alignment is ``gt[gap : gap + len(traj)]`` in both driver
+        modes. Tail frames that don't fill a chunk run through the per-frame path.
+
+        ``checkpoint_every=N`` saves a resumable checkpoint at the first chunk
+        boundary past every N processed frames; resume via :meth:`resume` +
+        :meth:`run_chunked_continue`. ``on_chunk(start, Rs, ts, ok, ninl)``
+        receives each chunk's per-frame outputs (trajectory-indexed) for metrics.
+        """
+        cfg = self.cfg
+        gap = cfg.bootstrap.frame_gap
+        if n_frames is None and hasattr(frames, "__len__"):
+            n_frames = len(frames)
+        it = iter(frames)
+        boot = [f for _, f in zip(range(gap + 1), it)]
+        self.bootstrap(boot)
+        self._append_pose(np.asarray(self.state.R), np.asarray(self.state.t))
+        return self.run_chunked_continue(
+            it, produced=gap + 1, chunk=chunk, n_frames=n_frames,
+            checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
+            on_chunk=on_chunk,
+        )
+
+    def run_chunked_continue(self, frame_iter, produced: int, chunk: int = 16,
+                             n_frames: int | None = None, checkpoint_every: int = 0,
+                             checkpoint_path: str | None = None, on_chunk=None):
+        """Chunked streaming loop from an already-initialized state (used by
+        :meth:`run_chunked` after bootstrap, and by the CLI's ``--chunked
+        --resume`` path). ``frame_iter`` yields frames ``produced, produced+1, …``.
 
         Failure recovery in throughput mode: the scanned step carries the same
         health counter as the per-frame path; if a chunk ends with tracking
         collapsed, the already-recorded poses for that chunk are the held
         last-good pose from the scan, and the driver re-bootstraps over the next
-        ``rebootstrap_skip + 1`` frames (recording the held anchor pose for them)
-        before resuming the scan — so a corruption burst costs one chunk of
-        frozen poses, not the replay.
+        ``rebootstrap_skip + 1`` frames (recording the held anchor pose for
+        them) — with the metric scale propagated from the pre-failure velocity —
+        before resuming the scan, so a corruption burst costs one chunk of frozen
+        poses, not the replay.
         """
         cfg = self.cfg
-        gap = cfg.bootstrap.frame_gap
         skip = max(cfg.bootstrap.rebootstrap_skip, 1)
-        self.bootstrap([frames[i] for i in range(gap + 1)])
-        self.trajectory.append(
-            -np.asarray(self.state.R).T @ np.asarray(self.state.t)
-        )
+        it = iter(frame_iter)
         chunk_fn = self.make_chunk_step(chunk)
-        i = gap + 1
-        T = len(frames)
-        while i + chunk <= T:
+        last_ckpt = produced
+
+        def take(k):
+            out = []
+            for _ in range(k):
+                if n_frames is not None and produced + len(out) >= n_frames:
+                    break
+                try:
+                    out.append(next(it))
+                except StopIteration:
+                    break
+            return out
+
+        buf = take(chunk)
+        while len(buf) == chunk:
             keys = jax.random.split(self._next_key(), chunk)
-            batch = jnp.asarray(frames[i : i + chunk], jnp.float32)
+            batch = jnp.asarray(np.stack(buf), jnp.float32)
             carry, (Rs, ts, ok, ninl) = chunk_fn(self.chunk_carry(), batch, keys)
             self.set_chunk_carry(carry)
             Rs = np.asarray(Rs)
             ts = np.asarray(ts)
+            if on_chunk is not None:
+                on_chunk(len(self.trajectory), Rs, ts, np.asarray(ok), np.asarray(ninl))
             for j in range(chunk):
-                self.trajectory.append(-Rs[j].T @ ts[j])
-            i += chunk
-            if int(self.state.health) >= 2 and i + skip + 1 <= T:
+                self._append_pose(Rs[j], ts[j])
+            produced += chunk
+            if int(self.state.health) >= 2:
                 # tracking collapsed inside the chunk: re-bootstrap anchored at
-                # the last pose (held through the failed frames by process_frame)
+                # the last pose (held through the failed frames by process_frame),
+                # at the pre-failure metric scale (VERDICT r2 #2)
                 R0 = np.asarray(self.state.R)
                 t0 = np.asarray(self.state.t)
-                burst = [frames[i + k] for k in range(skip + 1)]
-                self.bootstrap(burst, R0=R0, t0=t0)
-                for _ in range(skip):
-                    self.trajectory.append(-R0.T @ t0)  # held anchor poses
-                self.trajectory.append(
-                    -np.asarray(self.state.R).T @ np.asarray(self.state.t)
-                )
-                i += skip + 1
-        while i < T:
-            res = self.step(frames[i])
+                speed = self._recent_step_scale()
+                burst = take(skip + 1)
+                if len(burst) == skip + 1:
+                    scale = speed * (len(burst) - 1) if speed else None
+                    self.bootstrap(burst, R0=R0, t0=t0, scale=scale)
+                    for _ in range(skip):
+                        self._append_pose(R0, t0)  # held anchor poses
+                    self._append_pose(np.asarray(self.state.R), np.asarray(self.state.t))
+                    produced += skip + 1
+                else:  # sequence ended inside the burst: hold the anchor
+                    for _ in range(len(burst)):
+                        self._append_pose(R0, t0)
+                    produced += len(burst)
+                    break
+            if checkpoint_every and checkpoint_path and produced - last_ckpt >= checkpoint_every:
+                self.save(checkpoint_path, produced)
+                last_ckpt = produced
+            buf = take(chunk)
+        for img in buf:
+            res = self.step(img)
             self.record(res)
-            i += 1
+            produced += 1
         return self.trajectory
 
     def _pose_result(self, R, t, pose_ok: bool) -> FrameResult:
@@ -619,6 +715,7 @@ class VisualOdometry:
             trajectory=self.trajectory,
             frame_idx=produced,
             rng_key=self._key,
+            poses=self.poses,
         )
 
     def resume(self, path: str) -> int:
@@ -629,13 +726,21 @@ class VisualOdometry:
         cfg = self.cfg
         state_tmpl = st.make_vo_state(cfg, (cfg.image_height, cfg.image_width))
         win_tmpl = self.window
-        state, window, traj, produced, key = ckpt.load_checkpoint(path, state_tmpl, win_tmpl)
+        state, window, traj, produced, key, poses = ckpt.load_checkpoint(path, state_tmpl, win_tmpl)
         if produced is None:
             raise ValueError(f"checkpoint {path} has no frame counter — not a driver checkpoint")
         self.state = state
         if window is not None:
             self.window = window
         self.trajectory = list(traj)
+        if poses is not None:
+            self.poses = list(poses)
+        else:  # pre-r3 checkpoint: positions only — synthesize identity-rotation poses
+            self.poses = []
+            for p in self.trajectory:
+                T = np.eye(4)
+                T[:3, 3] = p
+                self.poses.append(T)
         if key is not None:
             self._key = key
         return produced
@@ -705,7 +810,7 @@ class VisualOdometry:
         max_extend = 4
         it = iter(frame_iter)
         rebootstrap_buf: list[np.ndarray] = []
-        anchor: tuple[np.ndarray, np.ndarray] | None = None
+        anchor: tuple | None = None  # (R, t, pre-failure speed)
         while produced < n_frames:
             try:
                 img = next(it)
@@ -718,7 +823,8 @@ class VisualOdometry:
                     # burst still filling: hold the last-known anchor pose
                     self.record(self._pose_result(anchor[0], anchor[1], False))
                     continue
-                n_inl = self.bootstrap(rebootstrap_buf, R0=anchor[0], t0=anchor[1])
+                scale = anchor[2] * (len(rebootstrap_buf) - 1) if anchor[2] else None
+                n_inl = self.bootstrap(rebootstrap_buf, R0=anchor[0], t0=anchor[1], scale=scale)
                 if n_inl < min_m and len(rebootstrap_buf) < skip + 1 + max_extend:
                     # weak re-init: keep this window's end pose, extend the burst
                     self.record(self._pose_result(self.state.R, self.state.t, False))
@@ -734,9 +840,13 @@ class VisualOdometry:
                 # index-exact after a checkpoint resume
                 on_frame(len(self.trajectory) - 1, res)
             if int(self.state.health) >= 2:
-                # tracking collapsed → re-bootstrap from the current frame burst
+                # tracking collapsed → re-bootstrap from the current frame burst,
+                # anchored at the last pose AND at the pre-failure metric scale
+                # (median healthy velocity) — closes the scale seam the reference
+                # leaves open (``src/vo_pipeline.py:314-324``)
                 rebootstrap_buf = [img]
-                anchor = (np.asarray(self.state.R), np.asarray(self.state.t))
+                anchor = (np.asarray(self.state.R), np.asarray(self.state.t),
+                          self._recent_step_scale())
             elif checkpoint_every and checkpoint_path and produced % checkpoint_every == 0:
                 self.save(checkpoint_path, produced)
         return self.trajectory

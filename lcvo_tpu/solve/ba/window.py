@@ -102,6 +102,7 @@ def refine_window(
     iters: int = 5,
     n_fix: int = 2,
     huber: float = 3e-3,
+    lam0: float = 1e-4,
 ):
     """Run window BA and write the results back.
 
@@ -111,7 +112,7 @@ def refine_window(
     driver can re-anchor the live pose.
     """
     problem, order = gather_problem(win, tracks, K_mat)
-    res = ba_solve(problem, iters=iters, n_fix=n_fix, huber=huber)
+    res = ba_solve(problem, iters=iters, n_fix=n_fix, huber=huber, lam0=lam0)
 
     adjusted = jnp.sum(problem.mask, axis=0) >= 2  # (K,)
     X_new = jnp.where(adjusted[:, None], res.X, tracks.X)

@@ -26,14 +26,16 @@ def _flatten(tree) -> dict:
     return flat
 
 
-def save_checkpoint(path: str, state, window=None, trajectory=None, frame_idx: int | None = None, rng_key=None):
-    """Serialize VO state (+ optional BA window, host-side trajectory, and the
-    driver's RNG key — needed for bit-exact resume) to npz."""
+def save_checkpoint(path: str, state, window=None, trajectory=None, frame_idx: int | None = None, rng_key=None, poses=None):
+    """Serialize VO state (+ optional BA window, host-side trajectory and full
+    4x4 poses, and the driver's RNG key — needed for bit-exact resume) to npz."""
     payload = {f"state:{k}": v for k, v in _flatten(state).items()}
     if window is not None:
         payload.update({f"window:{k}": v for k, v in _flatten(window).items()})
     if trajectory is not None and len(trajectory):
         payload["trajectory"] = np.asarray(trajectory)
+    if poses is not None and len(poses):
+        payload["poses"] = np.asarray(poses)
     if frame_idx is not None:
         payload["frame_idx_host"] = np.asarray(frame_idx)
     if rng_key is not None:
@@ -65,4 +67,5 @@ def load_checkpoint(path: str, state_template, window_template=None):
     trajectory = [p for p in data["trajectory"]] if "trajectory" in data else []
     frame_idx = int(data["frame_idx_host"]) if "frame_idx_host" in data else None
     rng_key = jnp.asarray(data["rng_key"]) if "rng_key" in data else None
-    return state, window, trajectory, frame_idx, rng_key
+    poses = [p for p in data["poses"]] if "poses" in data else None
+    return state, window, trajectory, frame_idx, rng_key, poses

@@ -20,21 +20,30 @@ class Dashboard:
     figure (to screen with ``show=True``, or to a PNG frame dump for video export).
     """
 
-    def __init__(self, K: np.ndarray, local_window: int = 20):
+    def __init__(self, K: np.ndarray, local_window: int = 20, landmark_range: float = 200.0):
         self.K = np.asarray(K)
         self.local_window = local_window
+        self.landmark_range = landmark_range  # reference filters ||X|| < 200 (src/visual.py:57)
         self.positions: list[np.ndarray] = []
         self.n_keypoints: list[int] = []
         self._last = None
+        self._landmarks = np.zeros((0, 3))
 
     def update(self, image: np.ndarray, state, result) -> None:
         R = np.asarray(result.R)
         t = np.asarray(result.t)
-        self.positions.append(-R.T @ t)
+        cam = -R.T @ t
+        self.positions.append(cam)
         self.n_keypoints.append(int(np.asarray(result.n_tracked)))
         P = np.asarray(state.tracks.P)
+        X = np.asarray(state.tracks.X)
         valid = np.asarray(state.tracks.valid)
-        self._last = (np.asarray(image), P[valid])
+        # range filter relative to the camera (the reference filters ||X|| < 200
+        # in world frame, src/visual.py:57 — camera-relative keeps the filter
+        # meaningful on long trajectories)
+        near = np.linalg.norm(X - cam, axis=1) < self.landmark_range
+        self._last = (np.asarray(image), P[valid & near])
+        self._landmarks = X[valid & near]
 
     def render(self, path: str | None = None, show: bool = False):
         import matplotlib
@@ -50,16 +59,26 @@ class Dashboard:
         if img is not None:
             ax.imshow(img, cmap="gray")
             if len(kps):
+                # keypoints of range-filtered landmarks on the frame
+                # (reference src/visual.py:62-65)
                 ax.scatter(kps[:, 0], kps[:, 1], s=4, c="lime", marker="x")
-        ax.set_title("current frame + tracked keypoints")
+            ax.set_xlim([0, img.shape[1]])
+            ax.set_ylim([img.shape[0], 0])
+        ax.set_title("landmarks & keypoints")
         ax.set_axis_off()
 
         pos = np.asarray(self.positions) if self.positions else np.zeros((1, 3))
         ax = fig.add_subplot(222)
         w = pos[-self.local_window :]
-        ax.plot(w[:, 0], w[:, 2], "b.-")
-        ax.set_title(f"local trajectory (last {self.local_window})")
+        if len(self._landmarks):
+            # current landmark cloud in the local map view (reference
+            # src/visual.py:86-88)
+            ax.scatter(self._landmarks[:, 0], self._landmarks[:, 2], s=6,
+                       c="green", alpha=0.2, label="landmarks")
+        ax.plot(w[:, 0], w[:, 2], "b.-", label="trajectory")
+        ax.set_title(f"local trajectory (last {self.local_window}) + landmarks")
         ax.set_aspect("equal", adjustable="datalim")
+        ax.legend(loc="lower right", fontsize=7)
 
         ax = fig.add_subplot(223)
         ax.plot(pos[:, 0], pos[:, 2], "b-")

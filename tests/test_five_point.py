@@ -10,6 +10,8 @@ from lcvo_tpu.core import geometry as geo
 from lcvo_tpu.ops import epipolar
 from lcvo_tpu.ops.five_point import five_point, poly_roots_deg10
 
+pytestmark = pytest.mark.slow  # e2e tier: run fast tier with -m "not slow"
+
 
 def _hat(v):
     return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])

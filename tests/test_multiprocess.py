@@ -10,6 +10,9 @@ import os
 import socket
 import subprocess
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e tier: run fast tier with -m "not slow"
 
 
 

@@ -13,6 +13,8 @@ from lcvo_tpu.core import geometry as geo
 from lcvo_tpu.ops import epipolar, harris, klt, pnp, pyramid
 from lcvo_tpu.ops import interp
 
+pytestmark = pytest.mark.slow  # e2e tier: run fast tier with -m "not slow"
+
 
 def synth_texture(rng, H, W, smooth=1.5):
     img = rng.uniform(0, 255, (H, W)).astype(np.float32)

@@ -11,6 +11,8 @@ from lcvo_tpu.data.synthetic import SyntheticSequence
 from lcvo_tpu.metrics import ate_rmse
 from lcvo_tpu.pipeline import VisualOdometry
 
+pytestmark = pytest.mark.slow  # e2e tier: run fast tier with -m "not slow"
+
 
 def small_cfg(**over):
     cfg = load_config(overrides={

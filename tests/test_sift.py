@@ -7,6 +7,9 @@ import jax.numpy as jnp
 
 from lcvo_tpu.frontend.match import knn_match_ratio, mutual_match
 from lcvo_tpu.frontend.sift import sift
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e tier: run fast tier with -m "not slow"
 
 
 def _blob_image(H=128, W=192, blobs=((40, 60, 3.0), (90, 140, 5.0), (30, 150, 2.5))):

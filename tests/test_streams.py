@@ -8,6 +8,9 @@ import jax.numpy as jnp
 from lcvo_tpu.config import load_config
 from lcvo_tpu.data.synthetic import make_intrinsics
 from lcvo_tpu.parallel.streams import make_batched_state, make_multistream_step
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e tier: run fast tier with -m "not slow"
 
 W, H = 160, 96
 

@@ -12,6 +12,9 @@ from lcvo_tpu.config import load_config
 from lcvo_tpu.data.synthetic import SyntheticSequence, trajectory_turn
 from lcvo_tpu.metrics import ate_rmse
 from lcvo_tpu.pipeline import VisualOdometry
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e tier: run fast tier with -m "not slow"
 
 N = 60
 W, H = 416, 160

@@ -13,6 +13,8 @@ class _FakeTracks:
     def __init__(self, n=12):
         rng = np.random.default_rng(0)
         self.P = rng.uniform(10, 100, (n, 2)).astype(np.float32)
+        self.X = rng.uniform(-5, 30, (n, 3)).astype(np.float32)
+        self.X[-2:] = 500.0  # beyond the 200 m range filter (reference src/visual.py:57)
         self.valid = np.ones(n, bool)
 
 
@@ -39,6 +41,10 @@ def test_dashboard_renders_frames(tmp_path):
     pngs = sorted(p for p in os.listdir(tmp_path) if p.endswith(".png"))
     assert len(pngs) == 3
     assert (tmp_path / pngs[0]).stat().st_size > 1000
+    # landmark parity (VERDICT r2 #7): the map panel scatters the current
+    # landmark cloud and the frame panel only keypoints of in-range landmarks
+    assert len(dash._landmarks) == 10            # 12 tracks, 2 beyond 200 m
+    assert len(dash._last[1]) == 10
 
 
 def test_export_video_end_to_end(tmp_path):
