@@ -336,6 +336,7 @@ class VisualOdometry:
         self._key = jax.random.PRNGKey(cfg.seed)
         self.trajectory: list[np.ndarray] = []  # camera centers (world)
         self.poses: list[np.ndarray] = []       # (4,4) cam→world, one per trajectory entry
+        self.pose_ok_flags: list[bool] = []     # per-entry health (False: held/weak pose)
         self.results: list = []
         # sliding-window BA (BASELINE config 3; reference future work, report §3.2)
         self.window = None
@@ -484,32 +485,36 @@ class VisualOdometry:
         self.state = st_._replace(tracks=tracks, R=R, t=t)
 
     def record(self, res: FrameResult):
-        self._append_pose(np.asarray(res.R), np.asarray(res.t))
+        self._append_pose(np.asarray(res.R), np.asarray(res.t), ok=bool(res.pose_ok))
         self.results.append(res)
 
-    def _append_pose(self, R: np.ndarray, t: np.ndarray):
+    def _append_pose(self, R: np.ndarray, t: np.ndarray, ok: bool = True):
         """Append one world→camera pose to the trajectory as both a camera center
         (``trajectory``) and a full 4x4 cam→world matrix (``poses``, for the
-        standard rotational RPE metrics)."""
+        standard rotational RPE metrics). ``ok=False`` marks held/weak poses so
+        scale estimation can skip them."""
         T = np.eye(4)
         T[:3, :3] = R.T
         T[:3, 3] = -R.T @ t
         self.trajectory.append(T[:3, 3].copy())
         self.poses.append(T)
+        self.pose_ok_flags.append(bool(ok))
 
-    def _recent_step_scale(self, k: int = 12) -> float | None:
+    def _recent_step_scale(self, k: int = 16) -> float | None:
         """Median per-frame translation over the last ``k`` healthy steps — the
         pre-failure velocity used to propagate metric scale through re-bootstrap.
-        Held/frozen poses (zero displacement, recorded while tracking was already
-        collapsed) are excluded. Returns None when too little healthy motion."""
+        Only steps between two pose_ok frames count: held/frozen poses (zero
+        displacement) and weak/garbage recovery poses are excluded. Returns None
+        when too little healthy motion is recorded."""
         if len(self.trajectory) < 3:
             return None
         pts = np.asarray(self.trajectory[-(k + 1):])
+        flags = np.asarray(self.pose_ok_flags[-(k + 1):], bool)
         d = np.linalg.norm(np.diff(pts, axis=0), axis=1)
-        d = d[d > 1e-9]
-        if len(d) < 2:
+        good = flags[:-1] & flags[1:] & (d > 1e-9)
+        if int(np.sum(good)) < 2:
             return None
-        return float(np.median(d))
+        return float(np.median(d[good]))
 
     # -- chunked throughput mode -------------------------------------------
     def make_chunk_step(self, chunk: int):
@@ -655,10 +660,11 @@ class VisualOdometry:
             self.set_chunk_carry(carry)
             Rs = np.asarray(Rs)
             ts = np.asarray(ts)
+            ok = np.asarray(ok)
             if on_chunk is not None:
-                on_chunk(len(self.trajectory), Rs, ts, np.asarray(ok), np.asarray(ninl))
+                on_chunk(len(self.trajectory), Rs, ts, ok, np.asarray(ninl))
             for j in range(chunk):
-                self._append_pose(Rs[j], ts[j])
+                self._append_pose(Rs[j], ts[j], ok=bool(ok[j]))
             produced += chunk
             if int(self.state.health) >= 2:
                 # tracking collapsed inside the chunk: re-bootstrap anchored at
@@ -672,12 +678,12 @@ class VisualOdometry:
                     scale = speed * (len(burst) - 1) if speed else None
                     self.bootstrap(burst, R0=R0, t0=t0, scale=scale)
                     for _ in range(skip):
-                        self._append_pose(R0, t0)  # held anchor poses
+                        self._append_pose(R0, t0, ok=False)  # held anchor poses
                     self._append_pose(np.asarray(self.state.R), np.asarray(self.state.t))
                     produced += skip + 1
                 else:  # sequence ended inside the burst: hold the anchor
                     for _ in range(len(burst)):
-                        self._append_pose(R0, t0)
+                        self._append_pose(R0, t0, ok=False)
                     produced += len(burst)
                     break
             if checkpoint_every and checkpoint_path and produced - last_ckpt >= checkpoint_every:
@@ -716,6 +722,7 @@ class VisualOdometry:
             frame_idx=produced,
             rng_key=self._key,
             poses=self.poses,
+            pose_ok_flags=self.pose_ok_flags,
         )
 
     def resume(self, path: str) -> int:
@@ -726,7 +733,7 @@ class VisualOdometry:
         cfg = self.cfg
         state_tmpl = st.make_vo_state(cfg, (cfg.image_height, cfg.image_width))
         win_tmpl = self.window
-        state, window, traj, produced, key, poses = ckpt.load_checkpoint(path, state_tmpl, win_tmpl)
+        state, window, traj, produced, key, poses, flags = ckpt.load_checkpoint(path, state_tmpl, win_tmpl)
         if produced is None:
             raise ValueError(f"checkpoint {path} has no frame counter — not a driver checkpoint")
         self.state = state
@@ -741,6 +748,7 @@ class VisualOdometry:
                 T = np.eye(4)
                 T[:3, 3] = p
                 self.poses.append(T)
+        self.pose_ok_flags = list(flags) if flags is not None else [True] * len(self.trajectory)
         if key is not None:
             self._key = key
         return produced
@@ -825,12 +833,29 @@ class VisualOdometry:
                     continue
                 scale = anchor[2] * (len(rebootstrap_buf) - 1) if anchor[2] else None
                 n_inl = self.bootstrap(rebootstrap_buf, R0=anchor[0], t0=anchor[1], scale=scale)
-                if n_inl < min_m and len(rebootstrap_buf) < skip + 1 + max_extend:
-                    # weak re-init: keep this window's end pose, extend the burst
-                    self.record(self._pose_result(self.state.R, self.state.t, False))
+                if n_inl >= min_m:
+                    rebootstrap_buf = []
+                    self.record(self._pose_result(self.state.R, self.state.t, True))
                     continue
+                if n_inl < max(min_m // 4, 4) and slides < 30:
+                    # tracking is broken from the window START (e.g. its leading
+                    # frames are the corrupted ones): slide the window forward one
+                    # frame and retry — end-extension alone can never recover when
+                    # the first frame is unusable, and a bootstrap seeded from a
+                    # corrupted frame produces a garbage map at garbage scale
+                    rebootstrap_buf.pop(0)
+                    slides += 1
+                    self.record(self._pose_result(anchor[0], anchor[1], False))
+                    continue
+                if len(rebootstrap_buf) < skip + 1 + max_extend:
+                    # weak but live geometry (few inliers: low parallax/texture):
+                    # extend the window end for more baseline; hold the anchor
+                    # pose rather than trusting a weak map
+                    self.record(self._pose_result(anchor[0], anchor[1], False))
+                    continue
+                # best effort: accept the weak init rather than stalling forever
                 rebootstrap_buf = []
-                self.record(self._pose_result(self.state.R, self.state.t, True))
+                self.record(self._pose_result(self.state.R, self.state.t, False))
                 continue
             res = self.step(img)
             self.record(res)
@@ -845,6 +870,7 @@ class VisualOdometry:
                 # (median healthy velocity) — closes the scale seam the reference
                 # leaves open (``src/vo_pipeline.py:314-324``)
                 rebootstrap_buf = [img]
+                slides = 0
                 anchor = (np.asarray(self.state.R), np.asarray(self.state.t),
                           self._recent_step_scale())
             elif checkpoint_every and checkpoint_path and produced % checkpoint_every == 0:

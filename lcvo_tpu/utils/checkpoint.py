@@ -26,7 +26,7 @@ def _flatten(tree) -> dict:
     return flat
 
 
-def save_checkpoint(path: str, state, window=None, trajectory=None, frame_idx: int | None = None, rng_key=None, poses=None):
+def save_checkpoint(path: str, state, window=None, trajectory=None, frame_idx: int | None = None, rng_key=None, poses=None, pose_ok_flags=None):
     """Serialize VO state (+ optional BA window, host-side trajectory and full
     4x4 poses, and the driver's RNG key — needed for bit-exact resume) to npz."""
     payload = {f"state:{k}": v for k, v in _flatten(state).items()}
@@ -36,6 +36,8 @@ def save_checkpoint(path: str, state, window=None, trajectory=None, frame_idx: i
         payload["trajectory"] = np.asarray(trajectory)
     if poses is not None and len(poses):
         payload["poses"] = np.asarray(poses)
+    if pose_ok_flags is not None and len(pose_ok_flags):
+        payload["pose_ok_flags"] = np.asarray(pose_ok_flags, bool)
     if frame_idx is not None:
         payload["frame_idx_host"] = np.asarray(frame_idx)
     if rng_key is not None:
@@ -68,4 +70,5 @@ def load_checkpoint(path: str, state_template, window_template=None):
     frame_idx = int(data["frame_idx_host"]) if "frame_idx_host" in data else None
     rng_key = jnp.asarray(data["rng_key"]) if "rng_key" in data else None
     poses = [p for p in data["poses"]] if "poses" in data else None
-    return state, window, trajectory, frame_idx, rng_key, poses
+    flags = [bool(f) for f in data["pose_ok_flags"]] if "pose_ok_flags" in data else None
+    return state, window, trajectory, frame_idx, rng_key, poses, flags

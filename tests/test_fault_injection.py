@@ -80,7 +80,39 @@ def test_rebootstrap_trajectory_continuity(seq, cfg):
     gt = seq.gt_positions()[gap : gap + len(traj)]
     est = np.asarray(traj)
     ate = ate_rmse(est, gt)
-    assert np.isfinite(ate) and ate < 3.0, f"ATE across re-bootstrap too large: {ate}"
+    # bound tightened 3.0 → 1.0 once re-bootstrap propagates metric scale
+    # (VERDICT r2 #2); the residual is the frozen-pose span during the burst
+    assert np.isfinite(ate) and ate < 1.0, f"ATE across re-bootstrap too large: {ate}"
+
+
+def test_rebootstrap_preserves_metric_scale(seq, cfg):
+    """The re-initialized map must keep the pre-failure metric scale: per-frame
+    translation after recovery ≈ before (the reference's fallback resets scale
+    arbitrarily, ``src/vo_pipeline.py:314-324`` — this is the beat-the-reference
+    seam). Asserted as a median step-length ratio within 25%."""
+    rng = np.random.default_rng(1)
+    n = 52
+    gap = cfg.bootstrap.frame_gap
+
+    def frames():
+        for i in range(n):
+            f = seq.frame(i)
+            if 20 <= i < 23:
+                f = rng.uniform(0, 255, size=f.shape).astype(f.dtype)
+            yield f
+
+    vo = VisualOdometry(cfg, seq.K)
+    traj = vo.run(frames(), n)
+    est = np.asarray(traj)
+    d = np.linalg.norm(np.diff(est, axis=0), axis=1)
+    flags = np.asarray(vo.pose_ok_flags, bool)
+    good = flags[:-1] & flags[1:] & (d > 1e-9)
+    # healthy steps strictly before the fault (frames < 20 → indices < 20-gap-1)
+    pre = d[: 20 - gap - 1][good[: 20 - gap - 1]]
+    post = d[-12:][good[-12:]]
+    assert len(pre) >= 5 and len(post) >= 5, (len(pre), len(post))
+    ratio = float(np.median(post) / np.median(pre))
+    assert 0.75 < ratio < 1.33, f"metric scale not preserved across re-bootstrap: {ratio:.3f}"
 
 
 def test_forced_track_drop_refills_via_redetection(seq, cfg):
@@ -131,7 +163,14 @@ def test_chunked_mode_rebootstraps_after_corruption(cfg):
     assert int(vo.state.health) == 0
     gt = seq2.gt_positions()[gap : gap + len(traj)]
     ate = ate_rmse(np.asarray(traj), gt)
-    assert np.isfinite(ate) and ate < 3.0, f"chunked-recovery ATE {ate:.2f} m"
+    # tightened 3.0 → 1.0 with scale-propagating re-bootstrap (VERDICT r2 #2)
+    assert np.isfinite(ate) and ate < 1.0, f"chunked-recovery ATE {ate:.2f} m"
+    # post-recovery steps continue at the pre-failure metric scale
+    est = np.asarray(traj)
+    d = np.linalg.norm(np.diff(est, axis=0), axis=1)
+    pre, post = d[:8], d[-8:]
+    ratio = float(np.median(post) / np.median(pre))
+    assert 0.75 < ratio < 1.33, f"chunked scale seam: {ratio:.3f}"
 
 
 def test_total_track_loss_increments_health(seq, cfg):
