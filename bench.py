@@ -1,43 +1,66 @@
 """Headline benchmark: VO frames/s at KITTI resolution on one chip, all modes.
 
-Baseline: the reference's per-frame OpenCV kernel sequence measured at 9.45 frames/s
-in its selected sift-sift mode on this image's CPU (BASELINE.md, measured via
-benchmarks/reference_cpu.py). North star (BASELINE.json): >=5x -> 47.2 frames/s.
+Baseline: the reference's per-frame OpenCV kernel sequence measured on this image's
+CPU via benchmarks/reference_cpu.py (BASELINE.md): sift-sift 9.45 fps (its selected
+mode, report §3.1), shi 59.3 fps, sift-mask 12.63 fps. North star (BASELINE.json):
+>=5x the selected mode -> 47.2 frames/s.
 
-The headline metric is the MODE-MATCHED comparison: our sift-sift throughput vs
-the reference's selected sift-sift mode (report §3.1). The other two reference
-candidate modes and the BA-enabled pipeline are measured into the same JSON line.
+The headline metric is the MODE-MATCHED comparison: our sift-sift throughput vs the
+reference's selected sift-sift mode. Also measured into the same JSON line: the
+other two reference candidate modes, the BA-enabled pipeline, the reference-matched
+operating point (configs/reference.yaml: 5-point + SIFT init + 21x21/10 KLT), and
+single-frame LATENCY (one dispatch + host readback per frame — the reference's
+"viable in real-time" framing is a latency claim, report §3.2).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "modes"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "modes",
+"baseline_fps", "mode_vs_baseline", "latency_ms_per_frame"}.
+
+``--quality``: TPU-path quality smoke instead — e2e ATE (sift-sift + shi-mask,
+100+ frames through the chunked scan) plus KLT/SIFT golden deltas against the CPU
+exact paths (the ``approx_max_k`` top-k and Pallas block extraction run ONLY on
+TPU backends, so CPU CI never sees them — this is their regression gate; VERDICT
+r2 #3). One JSON line with explicit bounds and an overall "ok".
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
+import tempfile
 import time
 
 import numpy as np
 
-REF_FPS = 9.45       # BASELINE.md: reference sift-sift mode, this image's CPU
-REF_FPS_SHI = 59.3   # BASELINE.md: reference shi mode
+# BASELINE.md: reference surrogate fps on this image's CPU, per candidate mode
+REF_FPS = {
+    "sift-sift": 9.45,
+    "shi-mask": 59.3,
+    "sift-mask": 12.63,
+    # the reference has no BA; its comparable mode is plain shi
+    "shi-mask+ba": 59.3,
+    # reference-preset is our pipeline AT the reference's sift-sift operating point
+    "reference-preset": 9.45,
+}
 
-_CACHE = os.path.join(os.path.dirname(__file__), "benchmarks", ".frame_cache.npz")
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_CACHE = os.path.join(_DIR, "benchmarks", ".frame_cache.npz")
 
 
-def _frames(n_frames, W, H):
-    """Synthetic KITTI-res frames, cached on disk (rendering is ~4 s/frame host-side
+def _frames(n_frames, W, H, speed=0.35):
+    """Synthetic KITTI-res frames, cached on disk (rendering is ~1 s/frame host-side
     and identical across runs — it is dataset work, not the benchmarked path)."""
     from lcvo_tpu.data.synthetic import SyntheticSequence
 
-    seq = SyntheticSequence(n_frames=n_frames, width=W, height=H, speed=0.35)
+    seq = SyntheticSequence(n_frames=n_frames, width=W, height=H, speed=speed)
     if os.path.exists(_CACHE):
         d = np.load(_CACHE)
-        if d["frames"].shape == (n_frames, H, W):
-            return [f for f in d["frames"]], seq.K
+        if d["frames"].shape[0] >= n_frames and d["frames"].shape[1:] == (H, W):
+            return [f for f in d["frames"][:n_frames]], seq
     frames = np.stack([seq.frame(i) for i in range(n_frames)])
     np.savez_compressed(_CACHE, frames=frames)
-    return [f for f in frames], seq.K
+    return [f for f in frames], seq
 
 
 def _measure_mode(cfg, frames, K, chunk=16, n_chunks=4):
@@ -76,33 +99,70 @@ def _measure_mode(cfg, frames, K, chunk=16, n_chunks=4):
     return n_chunks * chunk / dt
 
 
+def _measure_latency(cfg, frames, K, n=24):
+    """Single-frame latency: one process_frame dispatch per frame with a host
+    readback of the pose each time (the online/real-time operating mode — no
+    batching amortization). Returns mean ms/frame. NOTE: on the tunneled chip
+    this includes the tunnel round trip (~15-20 ms), an upper bound on real
+    host-attached latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from lcvo_tpu.pipeline import VisualOdometry
+
+    vo = VisualOdometry(cfg, K)
+    gap = cfg.bootstrap.frame_gap
+    vo.bootstrap(frames[: gap + 1])
+    imgs = [jnp.asarray(f, jnp.float32) for f in frames[gap + 1 :]]
+    # warmup/compile
+    res = vo.step(imgs[0])
+    float(np.asarray(res.t[0]))
+    t0 = time.perf_counter()
+    for i in range(1, min(n + 1, len(imgs))):
+        res = vo.step(imgs[i])
+        float(np.asarray(res.t[0]))  # scalar fence: the pose IS the product
+    dt = time.perf_counter() - t0
+    return dt / min(n, len(imgs) - 1) * 1e3
+
+
+def _cfg_for(mode, W, H):
+    from lcvo_tpu.config import load_config
+
+    if mode == "reference-preset":
+        return load_config(
+            os.path.join(_DIR, "configs", "reference.yaml"),
+            overrides={"image_width": W, "image_height": H},
+        )
+    ov = {"image_width": W, "image_height": H}
+    if mode.endswith("+ba"):
+        ov["find_new_candidates_method"] = mode[: -len("+ba")]
+        ov["ba"] = {"enabled": True}
+    else:
+        ov["find_new_candidates_method"] = mode
+    return load_config(overrides=ov)
+
+
 def main():
     import jax
 
     # persistent compile cache: axon's first in-process compilation pays a ~200 s
     # compiler warmup; cached executables skip it on subsequent bench runs
-    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", os.path.join(_DIR, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from lcvo_tpu.config import load_config
+    if "--quality" in sys.argv:
+        return quality()
 
     W, H = 1240, 376  # KITTI 05 resolution (reference src/main.py:14-29)
-    n_frames = 28
-    frames, K = _frames(n_frames, W, H)
+    frames, seq = _frames(28, W, H)
+    K = seq.K
 
     modes = {}
-    for mode in ("sift-sift", "shi-mask", "sift-mask"):
-        cfg = load_config(overrides={
-            "image_width": W, "image_height": H,
-            "find_new_candidates_method": mode,
-        })
+    for mode in ("sift-sift", "shi-mask", "sift-mask", "shi-mask+ba", "reference-preset"):
+        cfg = _cfg_for(mode, W, H)
         modes[mode] = round(_measure_mode(cfg, frames, K), 2)
-    cfg_ba = load_config(overrides={
-        "image_width": W, "image_height": H,
-        "find_new_candidates_method": "shi-mask",
-        "ba": {"enabled": True},
-    })
-    modes["shi-mask+ba"] = round(_measure_mode(cfg_ba, frames, K), 2)
+
+    latency_ms = round(_measure_latency(_cfg_for("sift-sift", W, H), frames, K), 2)
 
     fps = modes["sift-sift"]
     print(
@@ -111,16 +171,127 @@ def main():
                 "metric": "vo_frames_per_s_kitti_res_1chip_sift_sift",
                 "value": fps,
                 "unit": "frames/s",
-                "vs_baseline": round(fps / REF_FPS, 2),
+                "vs_baseline": round(fps / REF_FPS["sift-sift"], 2),
                 "modes": modes,
+                "baseline_fps": {m: REF_FPS[m] for m in modes},
                 "mode_vs_baseline": {
-                    "sift-sift": round(modes["sift-sift"] / REF_FPS, 2),
-                    "shi-mask": round(modes["shi-mask"] / REF_FPS_SHI, 2),
+                    m: round(v / REF_FPS[m], 2) for m, v in modes.items()
                 },
+                "latency_ms_per_frame": latency_ms,
             }
         )
     )
 
 
+# ---------------------------------------------------------------------------
+# --quality: TPU-path regression smoke (VERDICT r2 #3)
+# ---------------------------------------------------------------------------
+
+_CPU_GOLDEN_SCRIPT = r"""
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")  # sitecustomize pins axon; env var is ignored
+import jax.numpy as jnp
+
+inp = np.load(sys.argv[1])
+from lcvo_tpu.ops.klt import pyramidal_klt
+from lcvo_tpu.ops.pyramid import build_pyramid
+from lcvo_tpu.frontend.sift import sift
+
+p0 = build_pyramid(jnp.asarray(inp["img0"]), 3)
+p1 = build_pyramid(jnp.asarray(inp["img1"]), 3)
+pts, ok, _ = pyramidal_klt(p0, p1, jnp.asarray(inp["pts"]), window=15, iters=6)
+f = sift(jnp.asarray(inp["img1"]), max_keypoints=1024)
+np.savez(sys.argv[2], klt_pts=np.asarray(pts), klt_ok=np.asarray(ok),
+         sift_pts=np.asarray(f.pts), sift_valid=np.asarray(f.valid))
+"""
+
+
+def quality():
+    """TPU-path quality smoke: one JSON line, explicit bounds, overall ok flag."""
+    import jax
+    import jax.numpy as jnp
+
+    from lcvo_tpu.frontend.sift import sift
+    from lcvo_tpu.metrics import ate_rmse
+    from lcvo_tpu.ops.klt import pyramidal_klt
+    from lcvo_tpu.ops.pyramid import build_pyramid
+    from lcvo_tpu.pipeline import VisualOdometry
+
+    W, H = 1240, 376
+    n = 110
+    frames, seq = _frames(n, W, H)
+    K = seq.K
+    gap = 6
+    backend = jax.default_backend()
+
+    out = {"metric": "tpu_quality_smoke", "backend": backend, "frames": n}
+
+    # --- e2e ATE through the chunked scan (exercises approx_max_k + Pallas) ---
+    for mode in ("sift-sift", "shi-mask"):
+        vo = VisualOdometry(_cfg_for(mode, W, H), K)
+        # 7 bootstrap + 6 full chunks: no ragged tail (a tail would compile the
+        # per-frame step a second time just for a few frames)
+        traj = vo.run_chunked(np.stack(frames[: 7 + 6 * 16]), chunk=16)
+        gt = seq.gt_positions()[gap : gap + len(traj)]
+        out[f"ate_{mode.replace('-', '_')}_m"] = round(
+            ate_rmse(np.asarray(traj), gt[: len(traj)]), 4
+        )
+
+    # --- golden deltas vs the CPU exact paths (subprocess forces cpu backend) ---
+    img0, img1 = frames[10], frames[11]
+    rng = np.random.default_rng(0)
+    pts = rng.uniform([30, 30], [W - 30, H - 30], size=(512, 2)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as td:
+        inp = os.path.join(td, "inp.npz")
+        ref = os.path.join(td, "ref.npz")
+        np.savez(inp, img0=img0, img1=img1, pts=pts)
+        subprocess.run(
+            [sys.executable, "-c", _CPU_GOLDEN_SCRIPT, inp, ref],
+            check=True, cwd=_DIR, capture_output=True,
+        )
+        g = np.load(ref)
+
+    p0 = build_pyramid(jnp.asarray(img0), 3)
+    p1 = build_pyramid(jnp.asarray(img1), 3)
+    tpts, tok, _ = pyramidal_klt(p0, p1, jnp.asarray(pts), window=15, iters=6)
+    tpts, tok = np.asarray(tpts), np.asarray(tok)
+    both = tok & g["klt_ok"]
+    d = np.linalg.norm(tpts[both] - g["klt_pts"][both], axis=1)
+    out["klt_common_tracks"] = int(both.sum())
+    out["klt_p90_delta_px"] = round(float(np.percentile(d, 90)), 4) if both.any() else None
+
+    f = sift(jnp.asarray(img1), max_keypoints=1024)
+    sp = np.asarray(f.pts)[np.asarray(f.valid)]
+    gp = g["sift_pts"][g["sift_valid"]]
+    # recall: fraction of CPU-exact keypoints that a TPU keypoint lands within 2 px of
+    dist = np.linalg.norm(gp[:, None, :] - sp[None, :, :], axis=-1).min(axis=1)
+    out["sift_kp_cpu"] = int(len(gp))
+    out["sift_kp_tpu"] = int(len(sp))
+    out["sift_recall_2px"] = round(float((dist < 2.0).mean()), 4) if len(gp) else None
+
+    bounds = {
+        "ate_sift_sift_m": ("<", 0.5),
+        "ate_shi_mask_m": ("<", 0.5),
+        "klt_p90_delta_px": ("<", 0.5),
+        "sift_recall_2px": (">", 0.7),
+    }
+    ok = True
+    fails = []
+    for k, (op, b) in bounds.items():
+        v = out.get(k)
+        good = v is not None and ((v < b) if op == "<" else (v > b))
+        if not good:
+            ok = False
+            fails.append(f"{k}={v} !{op} {b}")
+    out["bounds"] = {k: f"{op}{b}" for k, (op, b) in bounds.items()}
+    out["ok"] = ok
+    if fails:
+        out["failed"] = fails
+    print(json.dumps(out))
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)

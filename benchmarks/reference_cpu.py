@@ -33,7 +33,7 @@ from lcvo_tpu.data.synthetic import SyntheticSequence  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=40)
-    ap.add_argument("--mode", default="sift-sift", choices=["sift-sift", "shi"])
+    ap.add_argument("--mode", default="sift-sift", choices=["sift-sift", "sift-mask", "shi"])
     ap.add_argument("--width", type=int, default=1240)
     ap.add_argument("--height", type=int, default=376)
     args = ap.parse_args()
@@ -77,6 +77,10 @@ def main():
                 matches = bf.knnMatch(des, prev_des, k=2)
                 _ = [m for m, n in matches if m.distance < 0.8 * n.distance]
             prev_des = des
+        elif args.mode == "sift-mask":
+            # reference find_new_candidates_sift_mask: per-frame SIFT detect only,
+            # proximity mask vs tracked points (src/vo_pipeline.py:392-425)
+            kps = sift.detect(img2, None)
         else:
             cv2.goodFeaturesToTrack(img2, 500, 0.03, 10)
         # candidate validation + triangulation loop (reference loops per candidate)

@@ -1,0 +1,37 @@
+"""The jitted corridor renderer must reproduce the numpy fixture renderer: same
+world, same trajectory, near-identical pixels (f32 vs f64 interpolation only) —
+so full-scale replay datasets (benchmarks/make_replay_dataset.py) are drawn from
+the same distribution the unit fixtures use."""
+
+import numpy as np
+
+from lcvo_tpu.data.render_jax import FastCorridorRenderer
+from lcvo_tpu.data.synthetic import SyntheticSequence
+
+
+def test_render_jax_matches_numpy_renderer():
+    seq = SyntheticSequence(n_frames=4, width=256, height=96)
+    r = FastCorridorRenderer(4, 256, 96)
+    np.testing.assert_allclose(seq.t_wc, r.t_wc)
+    np.testing.assert_allclose(seq.R_wc, r.R_wc)
+    a = seq.frame(2)
+    b = r.frame(2).astype(np.float32)
+    d = np.abs(a - b)
+    # f32 interpolation + plane-boundary argmin ties: tiny everywhere but a
+    # handful of edge pixels
+    assert d.mean() < 2.0, d.mean()
+    assert np.percentile(d, 99) < 5.0
+
+
+def test_far_wall_scales_with_trajectory():
+    r = FastCorridorRenderer(3000, 64, 32, speed=0.35)
+    assert r.world.end_z > 3000 * 0.35  # camera must never pass the far wall
+
+
+def test_gt_pose_rows_roundtrip():
+    r = FastCorridorRenderer(10, 64, 32)
+    rows = r.gt_pose_rows()
+    assert rows.shape == (10, 12)
+    P = rows.reshape(10, 3, 4)
+    np.testing.assert_allclose(P[:, :, 3], r.t_wc)
+    np.testing.assert_allclose(P[:, :, :3], r.R_wc)
