@@ -38,7 +38,15 @@ def main():
     ap.add_argument("--height", type=int, default=376)
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "datasets"))
     ap.add_argument("--speed", type=float, default=0.35)
+    ap.add_argument("--cpu", action="store_true",
+                    help="render on the CPU backend (PNG encode is the bottleneck "
+                         "anyway; leaves the chip free for concurrent benchmarks)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from PIL import Image
 

@@ -1,0 +1,159 @@
+"""Full-scale flagship replay: 2,760 frames at KITTI resolution through the CLI
+(VERDICT r2 #1 — the reference's published run extent, ``README.md:16``).
+
+Drives ``python -m lcvo_tpu.cli.run --chunked`` as a subprocess over the on-disk
+KITTI-format dataset from make_replay_dataset.py, with sift-sift + sliding-window
+BA + periodic checkpoints, while sampling the child's RSS (the streaming ingest
+must hold O(chunk) frames — staging 2,760 KITTI frames would be ~5.1 GB).
+
+Then rehearses failure recovery at scale: a second run is KILLED mid-replay
+(SIGKILL, no cleanup) and resumed from its last checkpoint; the resumed
+trajectory must match the uninterrupted one (same chunk boundaries + checkpointed
+RNG key -> deterministic continuation).
+
+Writes REPLAY_r{N}.json at the repo root and prints it.
+
+Run (chip):  python benchmarks/run_replay.py [--frames 2760] [--round 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli_args(out, frames, extra=()):
+    return [
+        sys.executable, "-u", "-m", "lcvo_tpu.cli.run",
+        "--dataset", "kitti", "--data-root", os.path.join(REPO, "datasets"),
+        "--mode", "sift-sift", "--ba", "--chunked",
+        "--frames", str(frames),
+        "--checkpoint-every", "512",
+        "--out", out,
+        *extra,
+    ]
+
+
+def _rss_mb(pid):
+    try:
+        with open(f"/proc/{pid}/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except FileNotFoundError:
+        pass
+    return None
+
+
+def run_sampled(args, kill_after=None):
+    """Run a CLI subprocess, sampling RSS; optionally SIGKILL after N seconds.
+    Returns (rc, peak_rss_mb, wall_s, last_stdout_line)."""
+    t0 = time.perf_counter()
+    p = subprocess.Popen(args, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, cwd=REPO)
+    peak = 0.0
+    killed = False
+    out_lines = []
+    import threading
+
+    def drain():
+        for line in p.stdout:
+            out_lines.append(line.rstrip())
+
+    th = threading.Thread(target=drain, daemon=True)
+    th.start()
+    while p.poll() is None:
+        rss = _rss_mb(p.pid)
+        if rss:
+            peak = max(peak, rss)
+        if kill_after and not killed and time.perf_counter() - t0 > kill_after:
+            p.send_signal(signal.SIGKILL)
+            killed = True
+        time.sleep(0.25)
+    th.join(timeout=5)
+    return p.returncode, peak, time.perf_counter() - t0, out_lines
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2760)
+    ap.add_argument("--round", type=int, default=3)
+    ap.add_argument("--kill-after", type=float, default=None,
+                    help="seconds into the second run to SIGKILL (default: 45%% of run A's wall)")
+    args = ap.parse_args()
+
+    runs = os.path.join(REPO, "runs")
+    os.makedirs(runs, exist_ok=True)
+    out_a = os.path.join(runs, "replay_a")
+    out_b = os.path.join(runs, "replay_b")
+
+    # --- run A: uninterrupted full replay, RSS-sampled ---
+    rc, peak_a, wall_a, lines = run_sampled(_cli_args(out_a, args.frames))
+    if rc != 0:
+        print("\n".join(lines[-30:]))
+        raise SystemExit(f"replay A failed rc={rc}")
+    summary = json.loads(lines[-1])
+
+    # --- run B: kill mid-replay, then resume from the checkpoint ---
+    kill_after = args.kill_after or max(30.0, 0.45 * wall_a)
+    rc_b, peak_b, wall_b, lines_b = run_sampled(
+        _cli_args(out_b, args.frames), kill_after=kill_after
+    )
+    ck = os.path.join(out_b, "checkpoint.npz")
+    resumed = False
+    resume_match = None
+    if os.path.exists(ck):
+        rc_r, peak_r, wall_r, lines_r = run_sampled(
+            _cli_args(out_b, args.frames, extra=("--resume", ck))
+        )
+        if rc_r == 0:
+            resumed = True
+            tr_a = np.load(os.path.join(out_a, "trajectory.npz"))["positions"]
+            tr_b = np.load(os.path.join(out_b, "trajectory.npz"))["positions"]
+            resume_match = bool(
+                tr_a.shape == tr_b.shape
+                and np.allclose(tr_a, tr_b, atol=1e-3)
+            )
+            peak_b = max(peak_b, peak_r)
+        else:
+            print("\n".join(lines_r[-30:]))
+
+    report = {
+        "metric": "full_scale_replay_kitti_res",
+        "frames": args.frames,
+        "mode": "sift-sift+ba, chunked streaming, checkpoint-every 512",
+        "wall_s": round(wall_a, 1),
+        "frames_per_s": round(summary.get("frames", 0) / wall_a, 2),
+        "ate_rmse_m": summary.get("ate_rmse_m"),
+        "rpe_trans_rmse_m": summary.get("rpe_trans_rmse_m"),
+        "rpe_rot_rmse_deg": summary.get("rpe_rot_rmse_deg"),
+        "kitti_t_err_pct": summary.get("kitti_t_err_pct"),
+        "kitti_r_err_deg_per_m": summary.get("kitti_r_err_deg_per_m"),
+        "pose_ok_rate": summary.get("pose_ok_rate"),
+        "peak_rss_mb": round(peak_a, 1),
+        "rss_under_1gb": peak_a < 1024.0,
+        "kill_resume": {
+            "killed_at_s": round(kill_after, 1),
+            "resumed": resumed,
+            "trajectory_matches_uninterrupted": resume_match,
+            "peak_rss_mb": round(peak_b, 1),
+        },
+        "cli_summary": summary,
+    }
+    path = os.path.join(REPO, f"REPLAY_r{args.round:02d}.json")
+    with open(path, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

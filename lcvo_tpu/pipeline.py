@@ -685,6 +685,7 @@ class VisualOdometry:
                     for _ in range(len(burst)):
                         self._append_pose(R0, t0, ok=False)
                     produced += len(burst)
+                    buf = []  # the last chunk was already processed — no tail
                     break
             if checkpoint_every and checkpoint_path and produced - last_ckpt >= checkpoint_every:
                 self.save(checkpoint_path, produced)

@@ -173,6 +173,23 @@ def test_chunked_mode_rebootstraps_after_corruption(cfg):
     assert 0.75 < ratio < 1.33, f"chunked scale seam: {ratio:.3f}"
 
 
+def test_chunked_sequence_ends_during_recovery_burst(cfg):
+    """If the sequence runs out while the re-bootstrap burst is still filling, the
+    driver must hold the anchor pose for the consumed frames and must NOT
+    re-process the last chunk through the per-frame tail path — exactly one pose
+    per frame from the bootstrap gap onward."""
+    seq3 = SyntheticSequence(n_frames=33, width=416, height=160)
+    rng = np.random.default_rng(5)
+    frames = np.stack([seq3.frame(i) for i in range(33)])
+    frames[27:31] = rng.uniform(0, 255, frames[27:31].shape).astype(frames.dtype)
+
+    vo = VisualOdometry(cfg, seq3.K)
+    traj = vo.run_chunked(frames, chunk=8)
+    gap = cfg.bootstrap.frame_gap
+    assert len(traj) == 33 - gap, (len(traj), 33 - gap)
+    assert len(vo.poses) == len(traj)
+
+
 def test_total_track_loss_increments_health(seq, cfg):
     """Clearing the whole table must be detected (pose_ok False, health > 0) —
     the validity-mask analog of the reference's KLT status-vector attrition check
