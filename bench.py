@@ -49,22 +49,29 @@ _CACHE = os.path.join(_DIR, "benchmarks", ".frame_cache.npz")
 
 
 def _frames(n_frames, W, H, speed=0.35):
-    """Synthetic KITTI-res frames, cached on disk (rendering is ~1 s/frame host-side
-    and identical across runs — it is dataset work, not the benchmarked path)."""
-    from lcvo_tpu.data.synthetic import SyntheticSequence
+    """Synthetic KITTI-res frames, cached on disk. Rendered with the jitted
+    corridor renderer (ms/frame on the chip) so the measurement horizon can span
+    100+ DISTINCT frames — every timed chunk sees new imagery, so the candidate
+    and track tables keep churning as they do in a real sequence (VERDICT r2
+    weak #8: the old 28-frame cache replayed one batch)."""
+    from lcvo_tpu.data.render_jax import FastCorridorRenderer
 
-    seq = SyntheticSequence(n_frames=n_frames, width=W, height=H, speed=speed)
+    seq = FastCorridorRenderer(n_frames, W, H, speed=speed)
     if os.path.exists(_CACHE):
         d = np.load(_CACHE)
         if d["frames"].shape[0] >= n_frames and d["frames"].shape[1:] == (H, W):
-            return [f for f in d["frames"][:n_frames]], seq
+            return [f.astype(np.float32) for f in d["frames"][:n_frames]], seq
     frames = np.stack([seq.frame(i) for i in range(n_frames)])
     np.savez_compressed(_CACHE, frames=frames)
-    return [f for f in frames], seq
+    return [f.astype(np.float32) for f in frames], seq
 
 
-def _measure_mode(cfg, frames, K, chunk=16, n_chunks=4):
-    """Steady-state frames/s of the compiled chunked scan for one config."""
+def _measure_mode(cfg, frames, K, chunk=16, n_chunks=6):
+    """Steady-state frames/s of the compiled chunked scan for one config.
+
+    Each chunk gets a DISTINCT pre-staged device batch (warmup chunk + n_chunks
+    timed), so the measurement covers (n_chunks+1)*chunk unique frames of
+    sequence progression, not one replayed batch."""
     import jax
     import jax.numpy as jnp
 
@@ -74,9 +81,16 @@ def _measure_mode(cfg, frames, K, chunk=16, n_chunks=4):
     gap = cfg.bootstrap.frame_gap
     vo.bootstrap(frames[: gap + 1])
     chunk_fn = vo.make_chunk_step(chunk)
-    batch = jnp.asarray(np.stack(frames[gap + 1 : gap + 1 + chunk]), jnp.float32)
+    pool = frames[gap + 1 :]
+    batches = [
+        jax.device_put(
+            jnp.asarray(np.stack([pool[(c * chunk + j) % len(pool)] for j in range(chunk)]),
+                        jnp.float32)
+        )
+        for c in range(n_chunks + 1)
+    ]
 
-    def run_chunk(carry):
+    def run_chunk(carry, batch):
         keys = jax.random.split(vo._next_key(), chunk)
         carry, out = chunk_fn(carry, batch, keys)
         return carry, out
@@ -88,12 +102,12 @@ def _measure_mode(cfg, frames, K, chunk=16, n_chunks=4):
     # warmup: compile. NOTE: the axon tunnel's block_until_ready does NOT wait for
     # remote completion — a host read of a value dependent on the whole chain is the
     # only reliable fence, so every timing below ends with a device_get.
-    carry, _ = run_chunk(vo.chunk_carry())
+    carry, _ = run_chunk(vo.chunk_carry(), batches[0])
     fence(carry)
 
     t0 = time.perf_counter()
-    for _ in range(n_chunks):
-        carry, _ = run_chunk(carry)
+    for c in range(n_chunks):
+        carry, _ = run_chunk(carry, batches[c + 1])
     fence(carry)
     dt = time.perf_counter() - t0
     return n_chunks * chunk / dt
@@ -154,7 +168,7 @@ def main():
         return quality()
 
     W, H = 1240, 376  # KITTI 05 resolution (reference src/main.py:14-29)
-    frames, seq = _frames(28, W, H)
+    frames, seq = _frames(128, W, H)
     K = seq.K
 
     modes = {}

@@ -40,13 +40,25 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
 
+    import jax
     import numpy as np
 
+    import lcvo_tpu
     from lcvo_tpu.config import load_config
     from lcvo_tpu.data.datasets import Prefetcher, load_dataset
     from lcvo_tpu.metrics import MetricsLogger, ate_rmse, rpe_stats
     from lcvo_tpu.pipeline import VisualOdometry
     from lcvo_tpu.viz import Dashboard, plot_trajectory
+
+    # persistent XLA compile cache: the chunked scan step costs minutes of compile
+    # on the tunneled chip; cached executables make repeat CLI invocations
+    # (resume-after-kill, benchmark reruns) start in seconds
+    cache_dir = os.environ.get(
+        "LCVO_XLA_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(lcvo_tpu.__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     overrides: dict = {}
     if args.dataset:

@@ -144,3 +144,7 @@ class FastCorridorRenderer:
         """(N, 12) KITTI pose-file rows: flattened cam→world [R|t]."""
         P = np.concatenate([self.R_wc, self.t_wc[:, :, None]], axis=2)
         return P.reshape(self.n_frames, 12)
+
+    def gt_positions(self) -> np.ndarray:
+        """(N, 3) camera positions in world frame (same API as SyntheticSequence)."""
+        return self.t_wc.copy()

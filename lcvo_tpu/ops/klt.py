@@ -55,13 +55,19 @@ def _interp_matrix(off: jnp.ndarray, w: int, s: int) -> jnp.ndarray:
 
 def _sample_blocks(blocks: jnp.ndarray, qx, qy, w: int) -> jnp.ndarray:
     """(N, w, w) patches sampled from (N, S, S) blocks, window centered at (qx, qy)
-    in block coordinates (top-left sample lands at q - (w-1)/2)."""
+    in block coordinates (top-left sample lands at q - (w-1)/2).
+
+    Matmul operands take the blocks' dtype (bf16 when ``iter_dtype`` asks for it —
+    halves the per-iteration HBM read of the block set); accumulation is always
+    f32 via ``preferred_element_type`` so the output patch is full precision."""
     S = blocks.shape[-1]
     r = (w - 1) // 2
-    Ry = _interp_matrix(qy - r, w, S)
-    Cx = _interp_matrix(qx - r, w, S)
+    Ry = _interp_matrix(qy - r, w, S).astype(blocks.dtype)
+    Cx = _interp_matrix(qx - r, w, S).astype(blocks.dtype)
     # (N,w,S) @ (N,S,S) @ (N,S,w) — two batched small matmuls
-    return jnp.einsum("nws,nst,nvt->nwv", Ry, blocks, Cx)
+    return jnp.einsum(
+        "nws,nst,nvt->nwv", Ry, blocks, Cx, preferred_element_type=jnp.float32
+    )
 
 
 def _extract_blocks(img: jnp.ndarray, centers: jnp.ndarray, S: int):
@@ -91,8 +97,15 @@ def _extract_blocks(img: jnp.ndarray, centers: jnp.ndarray, S: int):
     return blocks, jnp.stack([ox, oy], axis=-1).astype(centers.dtype)
 
 
-def _track_level(prev_img, next_img, pts_l, d, window, iters, eps):
+def _track_level(prev_img, next_img, pts_l, d, window, iters, eps,
+                 iter_dtype=jnp.float32):
     """One pyramid level of IC-LK. pts_l, d in this level's pixel units.
+
+    ``iter_dtype``: storage dtype of the loop-constant tensors the iteration body
+    re-reads from HBM every pass (target blocks, template, gradients). bf16 halves
+    that traffic — the dominant byte stream of the tracker — while extraction,
+    Hessian, and all accumulations stay f32 (sub-0.01 px displacement noise;
+    see tests/test_ops.py bf16-parity test).
 
     Returns (d, det_ok, residual) — residual is the mean |error| of the final patch.
     """
@@ -134,6 +147,14 @@ def _track_level(prev_img, next_img, pts_l, d, window, iters, eps):
     det_ok = det > 1e-6
     safe_det = jnp.where(det_ok, det, 1.0)
 
+    # loop-constant tensors the body re-reads from HBM every iteration; bf16
+    # storage (when requested) halves that stream. Math stays f32 (upcast on use,
+    # f32 accumulation inside _sample_blocks).
+    nblocks = nblocks.astype(iter_dtype)
+    T = T.astype(iter_dtype)
+    gx_i = gx.astype(iter_dtype)
+    gy_i = gy.astype(iter_dtype)
+
     # displacement range whose sampling window stays inside the extracted block
     dd_min = norig + (r + 1) - pts_l
     dd_max = norig + (S - r - 2) - pts_l
@@ -145,8 +166,8 @@ def _track_level(prev_img, next_img, pts_l, d, window, iters, eps):
         q = in_block(dd)
         I = _sample_blocks(nblocks, q[:, 0], q[:, 1], w)
         e = I - T
-        bx = jnp.sum(gx * e, axis=(1, 2))
-        by = jnp.sum(gy * e, axis=(1, 2))
+        bx = jnp.sum(gx_i * e, axis=(1, 2))
+        by = jnp.sum(gy_i * e, axis=(1, 2))
         ddx = (hyy * bx - hxy * by) / safe_det
         ddy = (-hxy * bx + hxx * by) / safe_det
         step = jnp.stack([ddx, ddy], axis=-1)
@@ -167,7 +188,7 @@ def _track_level(prev_img, next_img, pts_l, d, window, iters, eps):
     return d, det_ok, sat, residual
 
 
-@partial(jax.jit, static_argnames=("window", "iters"))
+@partial(jax.jit, static_argnames=("window", "iters", "iter_dtype"))
 def pyramidal_klt(
     prev_pyramid: tuple,
     next_pyramid: tuple,
@@ -178,6 +199,7 @@ def pyramidal_klt(
     max_displacement: float = 60.0,
     border: int = 12,
     eps: float = 0.01,
+    iter_dtype: str = "float32",
 ):
     """Track ``pts`` (N, 2) [x, y] from the previous frame into the next.
 
@@ -189,6 +211,7 @@ def pyramidal_klt(
     """
     levels = len(prev_pyramid)
     N = pts.shape[0]
+    idt = jnp.dtype(iter_dtype)
     d = jnp.zeros((N, 2), pts.dtype)
     ok = jnp.ones((N,), bool)
     residual = jnp.zeros((N,), pts.dtype)
@@ -196,7 +219,8 @@ def pyramidal_klt(
         scale = jnp.asarray(2.0**-l, pts.dtype)
         pts_l = pts * scale
         d, det_ok, sat, residual = _track_level(
-            prev_pyramid[l], next_pyramid[l], pts_l, d, window, iters, eps
+            prev_pyramid[l], next_pyramid[l], pts_l, d, window, iters, eps,
+            iter_dtype=idt,
         )
         ok = ok & det_ok
         if l == 0:

@@ -83,6 +83,7 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
             max_displacement=kltc.max_displacement,
             border=kltc.border,
             eps=kltc.eps,
+            iter_dtype=kltc.iter_dtype,
         )
         P_new, C_new = new_pts[:n_tracks], new_pts[n_tracks:]
         tracks = st.TrackTable(
@@ -278,6 +279,7 @@ def make_bootstrap_fns(cfg: VOConfig, K: np.ndarray):
             max_displacement=kltc.max_displacement,
             border=kltc.border,
             eps=kltc.eps,
+            iter_dtype=kltc.iter_dtype,
         )
         return new_pts, valid & ok
 

@@ -82,6 +82,29 @@ def test_klt_large_motion_needs_pyramid(rng):
     assert np.percentile(np.abs(err), 80) < 0.5
 
 
+def test_klt_bf16_iter_matches_f32(rng):
+    """iter_dtype='bfloat16' (half the iteration loop's HBM stream) must track
+    within a few hundredths of a pixel of the f32 path — the gate that lets the
+    throughput configs use it."""
+    img = synth_texture(rng, 160, 224)
+    shift = (3.4, -2.2)
+    yy, xx = np.mgrid[0:160, 0:224].astype(np.float32)
+    nxt = np.asarray(interp.bilinear_sample(jnp.asarray(img), jnp.asarray(yy - shift[1]), jnp.asarray(xx - shift[0])))
+    pyr0 = pyramid.build_pyramid(jnp.asarray(img), 3)
+    pyr1 = pyramid.build_pyramid(jnp.asarray(nxt), 3)
+    pts = jnp.asarray(rng.uniform([40, 40], [180, 120], size=(64, 2)).astype(np.float32))
+    p32, s32, _ = klt.pyramidal_klt(pyr0, pyr1, pts, window=15, iters=10)
+    p16, s16, _ = klt.pyramidal_klt(pyr0, pyr1, pts, window=15, iters=10,
+                                    iter_dtype="bfloat16")
+    both = np.asarray(s32) & np.asarray(s16)
+    assert both.mean() > 0.8
+    d = np.linalg.norm(np.asarray(p16)[both] - np.asarray(p32)[both], axis=-1)
+    assert np.percentile(d, 90) < 0.05
+    # and it still solves the actual tracking problem
+    err = np.asarray(p16)[both] - (np.asarray(pts)[both] + np.asarray(shift))
+    assert np.percentile(np.abs(err), 90) < 0.25
+
+
 def test_klt_status_drops_flat_regions(rng):
     img = np.full((128, 128), 100.0, np.float32)
     pyr = pyramid.build_pyramid(jnp.asarray(img), 3)
