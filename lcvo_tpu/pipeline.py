@@ -643,15 +643,29 @@ class VisualOdometry:
         chunk_fn = self.make_chunk_step(chunk)
         last_ckpt = produced
 
-        def take(k):
+        # frames pulled from the stream but not yet processed (decode-ahead
+        # buffer for the dispatch/decode overlap below); ``pulled`` counts every
+        # frame taken from the stream, ``produced`` only processed ones
+        lookahead: list = []
+        pulled = produced
+
+        def pull(k):
+            nonlocal pulled
             out = []
-            for _ in range(k):
-                if n_frames is not None and produced + len(out) >= n_frames:
-                    break
+            while len(out) < k and (n_frames is None or pulled < n_frames):
                 try:
                     out.append(next(it))
                 except StopIteration:
                     break
+                pulled += 1
+            return out
+
+        def take(k):
+            out = []
+            while len(out) < k and lookahead:
+                out.append(lookahead.pop(0))
+            if len(out) < k:
+                out.extend(pull(k - len(out)))
             return out
 
         buf = take(chunk)
@@ -660,6 +674,10 @@ class VisualOdometry:
             batch = jnp.asarray(np.stack(buf), jnp.float32)
             carry, (Rs, ts, ok, ninl) = chunk_fn(self.chunk_carry(), batch, keys)
             self.set_chunk_carry(carry)
+            # the chunk is now in flight on the device; decode the NEXT chunk
+            # before forcing results, so host decode overlaps device compute
+            if len(lookahead) < chunk:
+                lookahead.extend(pull(chunk - len(lookahead)))
             Rs = np.asarray(Rs)
             ts = np.asarray(ts)
             ok = np.asarray(ok)
