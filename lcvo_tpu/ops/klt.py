@@ -59,14 +59,20 @@ def _sample_blocks(blocks: jnp.ndarray, qx, qy, w: int) -> jnp.ndarray:
 
     Matmul operands take the blocks' dtype (bf16 when ``iter_dtype`` asks for it —
     halves the per-iteration HBM read of the block set); accumulation is always
-    f32 via ``preferred_element_type`` so the output patch is full precision."""
+    f32 via ``preferred_element_type`` so the output patch is full precision.
+
+    Precision HIGH (3-pass bf16 ≈ 19-bit-mantissa inputs): measured identical
+    6-hop bootstrap survival to HIGHEST (685/685 tracks) at 5.82 vs 6.31 ms for
+    the full tracker — the framework's f32 default would spend 6 passes here
+    for nothing (BASELINE.md round 3)."""
     S = blocks.shape[-1]
     r = (w - 1) // 2
     Ry = _interp_matrix(qy - r, w, S).astype(blocks.dtype)
     Cx = _interp_matrix(qx - r, w, S).astype(blocks.dtype)
     # (N,w,S) @ (N,S,S) @ (N,S,w) — two batched small matmuls
     return jnp.einsum(
-        "nws,nst,nvt->nwv", Ry, blocks, Cx, preferred_element_type=jnp.float32
+        "nws,nst,nvt->nwv", Ry, blocks, Cx,
+        precision=lax.Precision.HIGH, preferred_element_type=jnp.float32,
     )
 
 
