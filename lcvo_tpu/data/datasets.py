@@ -22,17 +22,20 @@ from dataclasses import dataclass, field
 import numpy as np
 
 
-def _imread_gray(path: str) -> np.ndarray:
+def _imread_gray(path: str, dtype=np.uint8) -> np.ndarray:
+    """Grayscale frame as uint8 by default: the device-side pipeline casts to
+    f32 after transfer, and 8-bit transfer quarters the host->device bytes (on
+    the tunneled chip H2D costs ~25 ms/MB — the dominant ingest cost)."""
     if path.endswith(".png"):
         from lcvo_tpu.data import native_loader
 
-        out = native_loader.decode_png(path)
+        out = native_loader.decode_png(path, dtype)
         if out is not None:
             return out
     from PIL import Image
 
     with Image.open(path) as im:
-        return np.asarray(im.convert("L"), dtype=np.float32)
+        return np.asarray(im.convert("L"), dtype=dtype)
 
 
 @dataclass

@@ -65,6 +65,23 @@ def _load():
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_int),
     ]
+    # u8 variants (older prebuilt .so may lack them — probe, don't assume)
+    if hasattr(lib, "lcvo_decode_png_u8"):
+        lib.lcvo_decode_png_u8.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.lcvo_decode_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
     _lib = lib
     return lib
 
@@ -84,18 +101,28 @@ def png_shape(path: str) -> tuple[int, int] | None:
     return h.value, w.value
 
 
-def decode_png(path: str) -> np.ndarray | None:
-    """float32 (H, W) grayscale, or None when the native path can't handle it."""
+def decode_png(path: str, dtype=np.float32) -> np.ndarray | None:
+    """(H, W) grayscale in ``dtype`` (float32 or uint8), or None when the native
+    path can't handle it. uint8 is the H2D-lean ingest path — the tunnel
+    transfer is 4x smaller and the pipeline casts to f32 on device."""
     lib = _load()
     if lib is None:
         return None
     shape = png_shape(path)
     if shape is None:
         return None
-    out = np.empty(shape, np.float32)
-    rc = lib.lcvo_decode_png(
-        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), *shape
-    )
+    if dtype == np.uint8:
+        if not hasattr(lib, "lcvo_decode_png_u8"):
+            return None
+        out = np.empty(shape, np.uint8)
+        rc = lib.lcvo_decode_png_u8(
+            path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), *shape
+        )
+    else:
+        out = np.empty(shape, np.float32)
+        rc = lib.lcvo_decode_png(
+            path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), *shape
+        )
     return out if rc == 0 else None
 
 

@@ -68,6 +68,9 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
     pyr_dtype = jnp.dtype(cfg.runtime.dtype)
 
     def process_frame(state: st.VOState, image: jnp.ndarray, key) -> tuple[st.VOState, FrameResult]:
+        # frames may arrive uint8 (H2D-lean ingest, datasets._imread_gray) —
+        # the cast to compute dtype happens here, ON DEVICE, after the transfer
+        image = image.astype(jnp.float32)
         pyr_new = build_pyramid(image.astype(pyr_dtype), kltc.levels)
 
         # ------ 1. joint KLT over landmark tracks P and candidate tracks C ------
@@ -460,7 +463,9 @@ class VisualOdometry:
     # -- per-frame ---------------------------------------------------------
     def step(self, image: np.ndarray) -> FrameResult:
         assert self.state is not None, "call bootstrap() first"
-        self.state, res = self._process(self.state, jnp.asarray(image, jnp.float32), self._next_key())
+        # transfer in the frame's own dtype (uint8 stays uint8 — 4x fewer tunnel
+        # bytes); process_frame casts to f32 on device
+        self.state, res = self._process(self.state, jnp.asarray(image), self._next_key())
         if self.window is not None and int(self.state.frame_idx) % self.cfg.ba.keyframe_every == 0:
             self._ba_step()
         return res
@@ -671,7 +676,7 @@ class VisualOdometry:
         buf = take(chunk)
         while len(buf) == chunk:
             keys = jax.random.split(self._next_key(), chunk)
-            batch = jnp.asarray(np.stack(buf), jnp.float32)
+            batch = jnp.asarray(np.stack(buf))  # u8 frames transfer as u8
             carry, (Rs, ts, ok, ninl) = chunk_fn(self.chunk_carry(), batch, keys)
             self.set_chunk_carry(carry)
             # the chunk is now in flight on the device; decode the NEXT chunk

@@ -45,9 +45,19 @@ int paeth(int a, int b, int c) {
   return c;
 }
 
-// Decode a PNG byte stream into float32 grayscale [0, 255].
+// Luminance row writers: float32 keeps fractional RGB luminance; uint8 rounds
+// to nearest (identical to f32-then-cast for the gray PNGs the datasets use,
+// where the value is copied verbatim either way).
+inline void store_px(float* row, int x, float v) { row[x] = v; }
+inline void store_px(uint8_t* row, int x, float v) {
+  row[x] = uint8_t(v + 0.5f);
+}
+
+// Decode a PNG byte stream into grayscale [0, 255] (float32 or uint8 output —
+// uint8 quarters the H2D transfer for 8-bit sources).
 // Returns 0 on success; negative error codes otherwise.
-int decode_png_gray(const uint8_t* buf, size_t n, float* out, int out_h,
+template <typename T>
+int decode_png_gray(const uint8_t* buf, size_t n, T* out, int out_h,
                     int out_w) {
   static const uint8_t magic[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
   if (n < 8 || memcmp(buf, magic, 8) != 0) return -1;  // not a PNG
@@ -127,28 +137,28 @@ int decode_png_gray(const uint8_t* buf, size_t n, float* out, int out_h,
     }
     memcpy(prev.data(), cur, stride);
 
-    // luminance conversion straight into the caller's float buffer
-    float* orow = out + size_t(y) * W;
+    // luminance conversion straight into the caller's output buffer
+    T* orow = out + size_t(y) * W;
     if (bit_depth == 8) {
       if (channels == 1) {
-        for (int x = 0; x < W; ++x) orow[x] = float(cur[x]);
+        for (int x = 0; x < W; ++x) orow[x] = T(cur[x]);
       } else if (channels == 2) {
-        for (int x = 0; x < W; ++x) orow[x] = float(cur[x * 2]);
+        for (int x = 0; x < W; ++x) orow[x] = T(cur[x * 2]);
       } else {
         for (int x = 0; x < W; ++x) {
           const uint8_t* px = cur + x * channels;
-          orow[x] = 0.299f * px[0] + 0.587f * px[1] + 0.114f * px[2];
+          store_px(orow, x, 0.299f * px[0] + 0.587f * px[1] + 0.114f * px[2]);
         }
       }
     } else {  // 16-bit big-endian; keep 8 MSBs (matches PIL convert("L") scale)
       if (channels == 1) {
-        for (int x = 0; x < W; ++x) orow[x] = float(cur[x * 2]);
+        for (int x = 0; x < W; ++x) orow[x] = T(cur[x * 2]);
       } else if (channels == 2) {
-        for (int x = 0; x < W; ++x) orow[x] = float(cur[x * 4]);
+        for (int x = 0; x < W; ++x) orow[x] = T(cur[x * 4]);
       } else {
         for (int x = 0; x < W; ++x) {
           const uint8_t* px = cur + x * channels * 2;
-          orow[x] = 0.299f * px[0] + 0.587f * px[2] + 0.114f * px[4];
+          store_px(orow, x, 0.299f * px[0] + 0.587f * px[2] + 0.114f * px[4]);
         }
       }
     }
@@ -170,6 +180,32 @@ int read_file(const char* path, std::vector<uint8_t>& buf) {
   size_t got = fread(buf.data(), 1, size_t(sz), f);
   fclose(f);
   return got == size_t(sz) ? 0 : -22;
+}
+
+template <typename T>
+int decode_batch_t(const char** paths, int n, T* out, int h, int w,
+                   int n_threads, int* rcs) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> bad(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      std::vector<uint8_t> buf;
+      int rc = read_file(paths[i], buf);
+      if (rc == 0)
+        rc = decode_png_gray(buf.data(), buf.size(),
+                             out + size_t(i) * h * w, h, w);
+      rcs[i] = rc;
+      if (rc != 0) bad.fetch_add(1);
+    }
+  };
+  std::vector<std::thread> ts;
+  int nt = n_threads < n ? n_threads : n;
+  for (int t = 0; t < nt; ++t) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+  return bad.load() == 0 ? 0 : -30;
 }
 
 }  // namespace
@@ -197,27 +233,26 @@ int lcvo_decode_png(const char* path, float* out, int h, int w) {
   return decode_png_gray(buf.data(), buf.size(), out, h, w);
 }
 
+// Decode one PNG to uint8 grayscale into out (h*w bytes) — the H2D-lean path
+// (tunnel transfers cost ~25 ms/MB; u8 quarters the bytes of an 8-bit source).
+int lcvo_decode_png_u8(const char* path, uint8_t* out, int h, int w) {
+  std::vector<uint8_t> buf;
+  int rc = read_file(path, buf);
+  if (rc != 0) return rc;
+  return decode_png_gray(buf.data(), buf.size(), out, h, w);
+}
+
 // Decode a batch of PNGs with a thread pool into out (n*h*w floats, C order).
 // rcs (n ints) receives the per-file return code. Returns 0 if all succeeded.
 int lcvo_decode_batch(const char** paths, int n, float* out, int h, int w,
                       int n_threads, int* rcs) {
-  if (n_threads < 1) n_threads = 1;
-  std::atomic<int> next(0);
-  std::atomic<int> bad(0);
-  auto worker = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n) return;
-      int rc = lcvo_decode_png(paths[i], out + size_t(i) * h * w, h, w);
-      rcs[i] = rc;
-      if (rc != 0) bad.fetch_add(1);
-    }
-  };
-  std::vector<std::thread> ts;
-  int nt = n_threads < n ? n_threads : n;
-  for (int t = 0; t < nt; ++t) ts.emplace_back(worker);
-  for (auto& t : ts) t.join();
-  return bad.load() == 0 ? 0 : -30;
+  return decode_batch_t(paths, n, out, h, w, n_threads, rcs);
+}
+
+// uint8 batch variant (see lcvo_decode_png_u8).
+int lcvo_decode_batch_u8(const char** paths, int n, uint8_t* out, int h, int w,
+                         int n_threads, int* rcs) {
+  return decode_batch_t(paths, n, out, h, w, n_threads, rcs);
 }
 
 }  // extern "C"

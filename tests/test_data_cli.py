@@ -38,7 +38,7 @@ def test_kitti_adapter(kitti_root):
     assert ds.K[0, 0] == 718.856
     assert ds.bootstrap_pair == (0, 6)
     f = ds.frame(3)
-    assert f.shape == (37, 124) and f.dtype == np.float32
+    assert f.shape == (37, 124) and f.dtype == np.uint8  # H2D-lean ingest
     gt = ds.gt_positions()
     assert gt.shape == (8, 3)
     assert np.isclose(gt[4, 2], 2.0)
@@ -138,7 +138,7 @@ def test_malaga_adapter(tmp_path):
     assert ds.K[0, 0] == 621.18428
     assert ds.bootstrap_pair == (0, 6)
     f = ds.frame(2)
-    assert f.shape == (30, 40) and f.dtype == np.float32
+    assert f.shape == (30, 40) and f.dtype == np.uint8  # H2D-lean ingest
     gt = ds.gt_positions()
     assert gt.shape == (6, 3)
     # every frame's GT is the GPS track evaluated at the IMAGE time

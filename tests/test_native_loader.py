@@ -70,3 +70,21 @@ def test_unsupported_falls_back(tmp_path):
 
     out = _imread_gray(p)
     assert out.shape == (8, 16)
+
+
+def test_gray8_u8_output(tmp_path):
+    """uint8 decode (the H2D-lean ingest path) must match the source bytes and
+    the f32 decode exactly for 8-bit gray sources."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (41, 67), dtype=np.uint8)
+    p = str(tmp_path / "u8.png")
+    Image.fromarray(arr, mode="L").save(p)
+    ours = native_loader.decode_png(p, dtype=np.uint8)
+    if ours is None:
+        import pytest
+
+        pytest.skip("native loader unavailable")
+    assert ours.dtype == np.uint8
+    np.testing.assert_array_equal(ours, arr)
+    f32 = native_loader.decode_png(p)
+    np.testing.assert_array_equal(ours.astype(np.float32), f32)
