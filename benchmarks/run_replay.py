@@ -54,14 +54,19 @@ def _rss_mb(pid):
     return None
 
 
-def run_sampled(args, kill_after=None):
-    """Run a CLI subprocess, sampling RSS; optionally SIGKILL after N seconds.
-    Returns (rc, peak_rss_mb, wall_s, last_stdout_line)."""
+def run_sampled(args, kill_after_ckpt=None):
+    """Run a CLI subprocess, sampling RSS. ``kill_after_ckpt=(ckpt_path, s)``
+    sends SIGKILL ``s`` seconds after ``ckpt_path`` first appears — tied to the
+    checkpoint rather than wall time, so the kill always lands mid-replay with
+    a resumable checkpoint on disk (a wall-time kill can fire during the
+    one-time compile, before anything exists to resume from).
+    Returns (rc, peak_rss_mb, wall_s, stdout_lines)."""
     t0 = time.perf_counter()
     p = subprocess.Popen(args, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, cwd=REPO)
     peak = 0.0
     killed = False
+    ckpt_seen_at = None
     out_lines = []
     import threading
 
@@ -75,20 +80,40 @@ def run_sampled(args, kill_after=None):
         rss = _rss_mb(p.pid)
         if rss:
             peak = max(peak, rss)
-        if kill_after and not killed and time.perf_counter() - t0 > kill_after:
-            p.send_signal(signal.SIGKILL)
-            killed = True
+        if kill_after_ckpt and not killed:
+            ckpt, delay = kill_after_ckpt
+            if ckpt_seen_at is None and os.path.exists(ckpt):
+                ckpt_seen_at = time.perf_counter()
+            if ckpt_seen_at is not None and time.perf_counter() - ckpt_seen_at > delay:
+                p.send_signal(signal.SIGKILL)
+                killed = True
         time.sleep(0.25)
     th.join(timeout=5)
     return p.returncode, peak, time.perf_counter() - t0, out_lines
+
+
+def steady_fps(metrics_path):
+    """Frames/s excluding the one-time compile: rate over the metric rows from
+    the end of the first chunk to the last row (rows carry wall timestamps)."""
+    try:
+        rows = [json.loads(l) for l in open(metrics_path)]
+        ts = [r["t"] for r in rows if "t" in r]
+        if len(ts) < 32:
+            return None
+        # rows within one chunk share a timestamp; skip the first chunk
+        first = next(i for i, t in enumerate(ts) if t > ts[0])
+        dt = ts[-1] - ts[first]
+        return round((len(ts) - first) / dt, 2) if dt > 0 else None
+    except (OSError, StopIteration, ValueError):
+        return None
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=2760)
     ap.add_argument("--round", type=int, default=3)
-    ap.add_argument("--kill-after", type=float, default=None,
-                    help="seconds into the second run to SIGKILL (default: 45%% of run A's wall)")
+    ap.add_argument("--kill-after", type=float, default=20.0,
+                    help="seconds after run B's first checkpoint appears to SIGKILL")
     args = ap.parse_args()
 
     runs = os.path.join(REPO, "runs")
@@ -103,12 +128,11 @@ def main():
         raise SystemExit(f"replay A failed rc={rc}")
     summary = json.loads(lines[-1])
 
-    # --- run B: kill mid-replay, then resume from the checkpoint ---
-    kill_after = args.kill_after or max(30.0, 0.45 * wall_a)
-    rc_b, peak_b, wall_b, lines_b = run_sampled(
-        _cli_args(out_b, args.frames), kill_after=kill_after
-    )
+    # --- run B: kill mid-replay (after its first checkpoint lands), resume ---
     ck = os.path.join(out_b, "checkpoint.npz")
+    rc_b, peak_b, wall_b, lines_b = run_sampled(
+        _cli_args(out_b, args.frames), kill_after_ckpt=(ck, args.kill_after)
+    )
     resumed = False
     resume_match = None
     if os.path.exists(ck):
@@ -133,6 +157,7 @@ def main():
         "mode": "sift-sift+ba, chunked streaming, checkpoint-every 512",
         "wall_s": round(wall_a, 1),
         "frames_per_s": round(summary.get("frames", 0) / wall_a, 2),
+        "frames_per_s_steady": steady_fps(os.path.join(out_a, "metrics.jsonl")),
         "ate_rmse_m": summary.get("ate_rmse_m"),
         "rpe_trans_rmse_m": summary.get("rpe_trans_rmse_m"),
         "rpe_rot_rmse_deg": summary.get("rpe_rot_rmse_deg"),
@@ -141,8 +166,13 @@ def main():
         "pose_ok_rate": summary.get("pose_ok_rate"),
         "peak_rss_mb": round(peak_a, 1),
         "rss_under_1gb": peak_a < 1024.0,
+        # the pipeline stages O(chunk) frames; the remainder of RSS is the
+        # axon tunnel client retaining ~1x the bytes of every H2D transfer
+        # (reproduced with a 3-line jnp.asarray probe, no pipeline code —
+        # BASELINE.md round 3). uint8 ingest cuts it 4x.
+        "rss_note": "tunnel client retains ~bytes-transferred; pipeline stages O(chunk)",
         "kill_resume": {
-            "killed_at_s": round(kill_after, 1),
+            "killed_s_after_first_checkpoint": args.kill_after,
             "resumed": resumed,
             "trajectory_matches_uninterrupted": resume_match,
             "peak_rss_mb": round(peak_b, 1),
