@@ -1,4 +1,5 @@
-"""Microbench: patch-sampling strategies for KLT on TPU.
+"""Microbench: patch-sampling strategies for KLT on TPU (the measurement that
+selected the production formulation -- strategy C won; kept as provenance).
 
 Variants:
   A. current: per-iter vmapped dynamic_slice from full image + static-shift bilinear
