@@ -1,8 +1,11 @@
-"""Bilinear sampling / patch gather primitives.
+"""Bilinear sampling / patch gather primitives — measurement scaffolding.
 
-These are the memory-access core of the KLT tracker and descriptor extraction. The
-vectorized-JAX path uses XLA gathers; the Pallas KLT kernel replaces them with
-dynamic-slice loads from VMEM for the hot loop.
+NOT on the production path: these document the XLA-gather formulation that the
+KLT strategy comparison (benchmarks/micro_sampling.py) measured and REJECTED in
+favor of the block-extraction + interpolation-einsum tracker (ops/klt.py) and
+the Pallas VMEM extraction kernel (ops/klt_pallas.py). Kept for the
+micro-benchmarks and as the simplest reference semantics the unit tests check
+the fast paths against (tests/test_ops.py).
 """
 
 from __future__ import annotations
