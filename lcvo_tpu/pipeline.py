@@ -674,27 +674,43 @@ class VisualOdometry:
             return out
 
         buf = take(chunk)
+        staged = None  # (frames, device_batch) pre-transferred for the next chunk
         while len(buf) == chunk:
             keys = jax.random.split(self._next_key(), chunk)
-            batch = jnp.asarray(np.stack(buf))  # u8 frames transfer as u8
+            # use the pre-transferred batch iff these are exactly the staged
+            # frames (the recovery path consumes stream frames and invalidates)
+            if staged is not None and buf[0] is staged[0][0]:
+                batch = staged[1]
+            else:
+                batch = jnp.asarray(np.stack(buf))  # u8 frames transfer as u8
+            staged = None
             carry, (Rs, ts, ok, ninl) = chunk_fn(self.chunk_carry(), batch, keys)
             self.set_chunk_carry(carry)
-            # the chunk is now in flight on the device; decode the NEXT chunk
-            # before forcing results, so host decode overlaps device compute
+            # the chunk is now in flight on the device; decode AND pre-transfer
+            # the next chunk before forcing results, so host decode and the H2D
+            # tunnel transfer both ride under device compute
             if len(lookahead) < chunk:
                 lookahead.extend(pull(chunk - len(lookahead)))
-            Rs = np.asarray(Rs)
-            ts = np.asarray(ts)
-            ok = np.asarray(ok)
+            if len(lookahead) >= chunk:
+                nxt = lookahead[:chunk]
+                staged = (nxt, jnp.asarray(np.stack(nxt)))
+            # ONE host round trip for everything the driver reads per chunk
+            # (each np.asarray is a separate ~18 ms tunnel round trip otherwise)
+            Rs, ts, ok, ninl, health = jax.device_get(
+                (Rs, ts, ok, ninl, self.state.health)
+            )
             if on_chunk is not None:
-                on_chunk(len(self.trajectory), Rs, ts, ok, np.asarray(ninl))
+                on_chunk(len(self.trajectory), Rs, ts, ok, ninl)
             for j in range(chunk):
                 self._append_pose(Rs[j], ts[j], ok=bool(ok[j]))
             produced += chunk
-            if int(self.state.health) >= 2:
+            if int(health) >= 2:
                 # tracking collapsed inside the chunk: re-bootstrap anchored at
                 # the last pose (held through the failed frames by process_frame),
-                # at the pre-failure metric scale (VERDICT r2 #2)
+                # at the pre-failure metric scale (VERDICT r2 #2). The staged
+                # device batch no longer matches the stream cursor — drop it
+                # (its frames are still at the head of ``lookahead``).
+                staged = None
                 R0 = np.asarray(self.state.R)
                 t0 = np.asarray(self.state.t)
                 speed = self._recent_step_scale()
