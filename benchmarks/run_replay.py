@@ -94,15 +94,17 @@ def run_sampled(args, kill_after_ckpt=None):
 
 def steady_fps(metrics_path):
     """Frames/s excluding the one-time compile: rate over the metric rows from
-    the end of the first chunk to the last row (rows carry wall timestamps)."""
+    the first chunk's completion timestamp onward (rows carry monotonic
+    timestamps; rows within one chunk share the stamp written when that chunk
+    COMPLETED — so frames counted are those strictly after ts[0], over the
+    elapsed time from ts[0] to the last stamp)."""
     try:
         rows = [json.loads(l) for l in open(metrics_path)]
         ts = [r["t"] for r in rows if "t" in r]
         if len(ts) < 32:
             return None
-        # rows within one chunk share a timestamp; skip the first chunk
         first = next(i for i, t in enumerate(ts) if t > ts[0])
-        dt = ts[-1] - ts[first]
+        dt = ts[-1] - ts[0]
         return round((len(ts) - first) / dt, 2) if dt > 0 else None
     except (OSError, StopIteration, ValueError):
         return None
@@ -120,6 +122,13 @@ def main():
     os.makedirs(runs, exist_ok=True)
     out_a = os.path.join(runs, "replay_a")
     out_b = os.path.join(runs, "replay_b")
+    # a leftover checkpoint from a prior invocation would start run B's kill
+    # timer immediately (SIGKILL during compile) and make the resume restore
+    # STALE state — always start from clean output dirs (ADVICE r3)
+    import shutil
+
+    shutil.rmtree(out_a, ignore_errors=True)
+    shutil.rmtree(out_b, ignore_errors=True)
 
     # --- run A: uninterrupted full replay, RSS-sampled ---
     rc, peak_a, wall_a, lines = run_sampled(_cli_args(out_a, args.frames))

@@ -15,6 +15,8 @@ collectives for multi-chip scale-out.
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # TPU numerics: XLA's DEFAULT matmul precision truncates f32 matmul INPUTS to
@@ -26,6 +28,16 @@ import jax as _jax
 # few big bandwidth-bound matmuls that tolerate bf16 opt out explicitly at the
 # call site, and the KLT iteration loop's bf16 option (klt.iter_dtype) makes
 # the storage trade deliberate rather than implicit.
-_jax.config.update("jax_default_matmul_precision", "float32")
+#
+# NOTE this mutates PROCESS-GLOBAL JAX config as an import side effect: a host
+# program that merely imports lcvo_tpu changes the default numerics (and on-TPU
+# matmul throughput) of its own unrelated JAX code. That scope is deliberate —
+# any JAX code feeding or consuming this framework's geometry inherits safe
+# numerics — but embedders who want XLA's default back can opt out with
+# ``LCVO_NO_MATMUL_PRECISION_OVERRIDE=1`` (set before import) and pin precision
+# per-op in their own code. The VO pipeline itself is NOT validated under the
+# opt-out (see BASELINE.md round 3 for the failure it reintroduces).
+if not _os.environ.get("LCVO_NO_MATMUL_PRECISION_OVERRIDE"):
+    _jax.config.update("jax_default_matmul_precision", "float32")
 
 from lcvo_tpu.config import VOConfig, load_config  # noqa: F401

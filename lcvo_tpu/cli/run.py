@@ -150,6 +150,9 @@ def main(argv=None) -> dict:
         "frames": len(est),
         "wall_s": round(wall, 2),
         "frames_per_s": round(len(est) / wall, 2) if wall > 0 else None,
+        # failure-recovery events this run (survives --resume via the checkpoint);
+        # pose_ok_rate below counts the recovery frames as not-ok rows
+        "n_rebootstraps": vo.n_rebootstraps,
         **metrics.summary(),
     }
     gt = ds.gt_positions()

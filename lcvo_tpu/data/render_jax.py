@@ -114,6 +114,96 @@ def render_frame(R_wc, cam, Kinv, H: int, W: int, ground_y: float = 1.6,
     return jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8)
 
 
+@partial(jax.jit, static_argnames=("H", "W", "ground_y", "x_lo", "x_hi", "z_lo",
+                                   "z_hi", "seed"))
+def render_frame_arena(R_wc, cam, Kinv, H: int, W: int, ground_y: float,
+                       x_lo: float, x_hi: float, z_lo: float, z_hi: float,
+                       seed: int = 7):
+    """Render one uint8 frame of an :class:`~lcvo_tpu.data.synthetic.ArenaWorld`:
+    ground plane + four axis-aligned walls. The closed room means every ray hits
+    textured geometry in any heading — required for loop trajectories with
+    sustained 90° turns (the corridor's open ends would show void mid-turn).
+    Same lattice-hash texture and depth attenuation as :func:`render_frame`."""
+    u, v = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32) + 0.5,
+                        jnp.arange(H, dtype=jnp.float32) + 0.5)
+    rays = jnp.stack([u, v, jnp.ones_like(u)], axis=-1) @ Kinv.T
+    d = rays @ R_wc.T
+    eps = 1e-9
+
+    def plane_hit(t_hit, mask_extra, uu, vv, sd, shade):
+        t_hit = jnp.where((t_hit > 0.1) & mask_extra, t_hit, jnp.inf)
+        tex = _value_noise(uu, vv, sd, octaves=4, base_freq=1.7) * 0.75 + 0.25
+        return t_hit, tex * shade
+
+    hits, texs = [], []
+    dy = jnp.where(jnp.abs(d[..., 1]) > eps, d[..., 1], eps)
+    ty = (ground_y - cam[1]) / dy
+    gx = cam[0] + ty * d[..., 0]
+    gz = cam[2] + ty * d[..., 2]
+    t_hit, tex = plane_hit(ty, jnp.ones_like(ty, bool), gx, gz, seed, 1.0)
+    hits.append(t_hit)
+    texs.append(tex)
+    dx = jnp.where(jnp.abs(d[..., 0]) > eps, d[..., 0], eps)
+    for wall_x, sd in ((x_lo, seed + 101), (x_hi, seed + 202)):
+        tx = (wall_x - cam[0]) / dx
+        wy = cam[1] + tx * d[..., 1]
+        wz = cam[2] + tx * d[..., 2]
+        t_hit, tex = plane_hit(tx, wy < ground_y, wz, wy, sd, 0.85)
+        hits.append(t_hit)
+        texs.append(tex)
+    dz = jnp.where(jnp.abs(d[..., 2]) > eps, d[..., 2], eps)
+    for wall_z, sd in ((z_lo, seed + 303), (z_hi, seed + 404)):
+        tz = (wall_z - cam[2]) / dz
+        wx = cam[0] + tz * d[..., 0]
+        wy = cam[1] + tz * d[..., 1]
+        t_hit, tex = plane_hit(tz, wy < ground_y, wx, wy, sd, 0.78)
+        hits.append(t_hit)
+        texs.append(tex)
+
+    hits = jnp.stack(hits)
+    texs = jnp.stack(texs)
+    best = jnp.argmin(hits, axis=0)
+    img = jnp.take_along_axis(texs, best[None], axis=0)[0]
+    depth = jnp.take_along_axis(hits, best[None], axis=0)[0]
+    depth = jnp.where(jnp.isfinite(depth), depth, 1e4)
+    img = img * (1.0 / (1.0 + 0.002 * depth))
+    return jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8)
+
+
+class FastArenaRenderer:
+    """Device-rendered arena sequence over an arbitrary trajectory, with exact
+    host-side ground truth. The turn-rich counterpart of
+    :class:`FastCorridorRenderer` — pass a (R_wc, t_wc) trajectory (e.g.
+    ``synthetic.trajectory_loop``); the arena auto-sizes around it."""
+
+    def __init__(self, trajectory: tuple, width: int, height: int,
+                 K: np.ndarray | None = None, margin: float = 8.0, seed: int = 7):
+        from lcvo_tpu.data.synthetic import ArenaWorld, make_intrinsics
+
+        self.R_wc, self.t_wc = trajectory
+        self.n_frames = len(self.R_wc)
+        self.W, self.H = width, height
+        self.world = ArenaWorld.around(self.t_wc, margin=margin, seed=seed)
+        self.K = make_intrinsics(width, height) if K is None else np.asarray(K, np.float64)
+        self._Kinv = jnp.asarray(np.linalg.inv(self.K), jnp.float32)
+
+    def frame(self, i: int) -> np.ndarray:
+        w = self.world
+        out = render_frame_arena(
+            jnp.asarray(self.R_wc[i], jnp.float32), jnp.asarray(self.t_wc[i], jnp.float32),
+            self._Kinv, self.H, self.W, ground_y=w.ground_y,
+            x_lo=w.x_lo, x_hi=w.x_hi, z_lo=w.z_lo, z_hi=w.z_hi, seed=w.seed,
+        )
+        return np.asarray(out)
+
+    def gt_pose_rows(self) -> np.ndarray:
+        P = np.concatenate([self.R_wc, self.t_wc[:, :, None]], axis=2)
+        return P.reshape(self.n_frames, 12)
+
+    def gt_positions(self) -> np.ndarray:
+        return self.t_wc.copy()
+
+
 class FastCorridorRenderer:
     """Device-rendered corridor sequence with exact host-side ground truth."""
 

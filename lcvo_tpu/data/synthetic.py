@@ -113,6 +113,60 @@ def trajectory_turn(n_frames: int, speed: float = 0.35, turn_start: int = 20,
     return np.stack(Rs), np.stack(ts)
 
 
+def trajectory_loop(n_frames: int, speed: float = 0.35, straight_frames: int = 260,
+                    turn_frames: int = 45, turn_deg: float = 90.0, direction: float = 1.0):
+    """Rectangular loop: straight sections joined by sustained constant-rate yaw
+    turns (several ~90° corners per lap — the motion profile of the reference's
+    KITTI 05 run, whose published trajectory has multiple hard turns,
+    ``result-trajectory-plots/kitti_trajectory__sift-sift_0-2759_frames.png``).
+
+    ``turn_deg/turn_frames`` sets the per-frame yaw rate (90°/45 = 2°/frame ≈
+    KITTI's sharper corners at 10 fps). Returns (R_wc (N,3,3), t_wc (N,3)).
+    """
+    Rs, ts = [], []
+    pos = np.zeros(3)
+    yaw = 0.0
+    period = straight_frames + turn_frames
+    rate = np.deg2rad(turn_deg) / max(turn_frames, 1) * direction
+    for i in range(n_frames):
+        if i % period >= straight_frames:
+            yaw += rate
+        c, s = np.cos(yaw), np.sin(yaw)
+        R_wc = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        Rs.append(R_wc)
+        ts.append(pos.copy())
+        pos = pos + R_wc[:, 2] * speed
+    return np.stack(Rs), np.stack(ts)
+
+
+@dataclass
+class ArenaWorld:
+    """Closed rectangular room: textured ground plane + four walls (ceiling off).
+    Generalizes :class:`CorridorWorld` so turn-rich trajectories (loops, 90°
+    corners) stay inside textured geometry in every heading."""
+
+    ground_y: float = 1.6
+    x_lo: float = -8.0
+    x_hi: float = 8.0
+    z_lo: float = -8.0
+    z_hi: float = 108.0
+    seed: int = 7
+
+    @classmethod
+    def around(cls, t_wc: np.ndarray, margin: float = 8.0, ground_y: float = 1.6,
+               seed: int = 7) -> "ArenaWorld":
+        """Smallest arena containing a trajectory with ``margin`` m of clearance
+        (walls stay close enough to contribute trackable near-field texture)."""
+        return cls(
+            ground_y=ground_y,
+            x_lo=float(t_wc[:, 0].min() - margin),
+            x_hi=float(t_wc[:, 0].max() + margin),
+            z_lo=float(t_wc[:, 2].min() - margin),
+            z_hi=float(t_wc[:, 2].max() + margin),
+            seed=seed,
+        )
+
+
 class SyntheticSequence:
     """Renders frames on demand; exposes the reference dataset-adapter interface
     (K, ground-truth poses, frame count — cf. ``src/main.py:14-68``)."""

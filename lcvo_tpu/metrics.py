@@ -168,12 +168,13 @@ class MetricsLogger:
     def log_chunk_frame(self, frame_idx: int, pose_ok: bool, inliers: int) -> dict:
         """Reduced per-frame row for throughput (chunked-scan) mode, where only
         (R, t, pose_ok, n_inliers) come back from the device per frame. Rows
-        carry a wall timestamp so steady-state frames/s can be computed
+        carry a MONOTONIC timestamp (NTP steps during a multi-hour replay must
+        not skew rate computation) so steady-state frames/s can be computed
         excluding the one-time compile (all frames of one chunk share it)."""
         import time
 
         row = {"frame": int(frame_idx), "pose_ok": bool(pose_ok),
-               "inliers": int(inliers), "t": round(time.time(), 3)}
+               "inliers": int(inliers), "t": round(time.monotonic(), 3)}
         self.rows.append(row)
         if self._fh:
             import json

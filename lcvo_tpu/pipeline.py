@@ -343,6 +343,7 @@ class VisualOdometry:
         self.poses: list[np.ndarray] = []       # (4,4) cam→world, one per trajectory entry
         self.pose_ok_flags: list[bool] = []     # per-entry health (False: held/weak pose)
         self.results: list = []
+        self.n_rebootstraps = 0                 # failure-recovery events (both driver modes)
         # sliding-window BA (BASELINE config 3; reference future work, report §3.2)
         self.window = None
         if cfg.ba.enabled:
@@ -495,6 +496,15 @@ class VisualOdometry:
         self._append_pose(np.asarray(res.R), np.asarray(res.t), ok=bool(res.pose_ok))
         self.results.append(res)
 
+    def _emit(self, res: FrameResult, on_frame):
+        """Record a pose AND its metrics row. EVERY trajectory entry gets a metrics
+        row — including held anchor poses during recovery bursts, which carry
+        pose_ok=False — so summary rates can't read healthy through a recovery
+        (the reference's per-frame prints never skip a frame, ``src/main.py:214``)."""
+        self.record(res)
+        if on_frame is not None:
+            on_frame(len(self.trajectory) - 1, res)
+
     def _append_pose(self, R: np.ndarray, t: np.ndarray, ok: bool = True):
         """Append one world→camera pose to the trajectory as both a camera center
         (``trajectory``) and a full 4x4 cam→world matrix (``poses``, for the
@@ -522,6 +532,19 @@ class VisualOdometry:
         if int(np.sum(good)) < 2:
             return None
         return float(np.median(d[good]))
+
+    def _chunk_emit(self, on_chunk, Rs, ts, oks, ninl=None):
+        """Append driver-synthesized poses in chunked mode WITH their metrics rows
+        (bootstrap-end pose, held anchor poses during a recovery burst). Chunked
+        summaries therefore count every trajectory entry — a replay with N
+        recoveries can no longer print the same pose_ok_rate as one with zero
+        (the reference's per-frame prints never skip a frame, ``src/main.py:214``)."""
+        if on_chunk is not None:
+            on_chunk(len(self.trajectory), np.asarray(Rs), np.asarray(ts),
+                     np.asarray(oks, bool),
+                     np.zeros(len(oks), np.int32) if ninl is None else np.asarray(ninl))
+        for R, t, ok in zip(Rs, ts, oks):
+            self._append_pose(np.asarray(R), np.asarray(t), ok=bool(ok))
 
     # -- chunked throughput mode -------------------------------------------
     def make_chunk_step(self, chunk: int):
@@ -618,8 +641,13 @@ class VisualOdometry:
             n_frames = len(frames)
         it = iter(frames)
         boot = [f for _, f in zip(range(gap + 1), it)]
+        if len(boot) < gap + 1:
+            raise ValueError(
+                f"stream ended after {len(boot)} frame(s); the two-view bootstrap "
+                f"needs at least bootstrap.frame_gap + 1 = {gap + 1}"
+            )
         self.bootstrap(boot)
-        self._append_pose(np.asarray(self.state.R), np.asarray(self.state.t))
+        self._chunk_emit(on_chunk, [np.asarray(self.state.R)], [np.asarray(self.state.t)], [True])
         return self.run_chunked_continue(
             it, produced=gap + 1, chunk=chunk, n_frames=n_frames,
             checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
@@ -710,6 +738,7 @@ class VisualOdometry:
                 # at the pre-failure metric scale (VERDICT r2 #2). The staged
                 # device batch no longer matches the stream cursor — drop it
                 # (its frames are still at the head of ``lookahead``).
+                self.n_rebootstraps += 1
                 staged = None
                 R0 = np.asarray(self.state.R)
                 t0 = np.asarray(self.state.t)
@@ -718,13 +747,19 @@ class VisualOdometry:
                 if len(burst) == skip + 1:
                     scale = speed * (len(burst) - 1) if speed else None
                     self.bootstrap(burst, R0=R0, t0=t0, scale=scale)
-                    for _ in range(skip):
-                        self._append_pose(R0, t0, ok=False)  # held anchor poses
-                    self._append_pose(np.asarray(self.state.R), np.asarray(self.state.t))
+                    # held anchor poses for the burst frames + the fresh
+                    # bootstrap-end pose, each with a pose_ok=False/True row
+                    self._chunk_emit(
+                        on_chunk,
+                        [R0] * skip + [np.asarray(self.state.R)],
+                        [t0] * skip + [np.asarray(self.state.t)],
+                        [False] * skip + [True],
+                    )
                     produced += skip + 1
                 else:  # sequence ended inside the burst: hold the anchor
-                    for _ in range(len(burst)):
-                        self._append_pose(R0, t0, ok=False)
+                    if burst:
+                        self._chunk_emit(on_chunk, [R0] * len(burst),
+                                         [t0] * len(burst), [False] * len(burst))
                     produced += len(burst)
                     buf = []  # the last chunk was already processed — no tail
                     break
@@ -732,9 +767,10 @@ class VisualOdometry:
                 self.save(checkpoint_path, produced)
                 last_ckpt = produced
             buf = take(chunk)
-        for img in buf:
+        for img in buf:  # tail frames that don't fill a chunk: per-frame path
             res = self.step(img)
-            self.record(res)
+            self._chunk_emit(on_chunk, [np.asarray(res.R)], [np.asarray(res.t)],
+                             [bool(res.pose_ok)], [int(res.n_inliers)])
             produced += 1
         return self.trajectory
 
@@ -765,6 +801,7 @@ class VisualOdometry:
             rng_key=self._key,
             poses=self.poses,
             pose_ok_flags=self.pose_ok_flags,
+            extras={"n_rebootstraps": self.n_rebootstraps},
         )
 
     def resume(self, path: str) -> int:
@@ -775,9 +812,10 @@ class VisualOdometry:
         cfg = self.cfg
         state_tmpl = st.make_vo_state(cfg, (cfg.image_height, cfg.image_width))
         win_tmpl = self.window
-        state, window, traj, produced, key, poses, flags = ckpt.load_checkpoint(path, state_tmpl, win_tmpl)
+        state, window, traj, produced, key, poses, flags, extras = ckpt.load_checkpoint(path, state_tmpl, win_tmpl)
         if produced is None:
             raise ValueError(f"checkpoint {path} has no frame counter — not a driver checkpoint")
+        self.n_rebootstraps = int(extras.get("n_rebootstraps", 0))
         self.state = state
         if window is not None:
             self.window = window
@@ -821,7 +859,12 @@ class VisualOdometry:
         min_m = cfg.bootstrap.min_matches
         max_extend = 4
         it = iter(frame_iter)
-        frames = [next(it) for _ in range(gap + 1)]
+        frames = [f for _, f in zip(range(gap + 1), it)]
+        if len(frames) < gap + 1:
+            raise ValueError(
+                f"stream ended after {len(frames)} frame(s); the two-view bootstrap "
+                f"needs at least bootstrap.frame_gap + 1 = {gap + 1}"
+            )
         n_inl = self.bootstrap(frames)
         produced = gap + 1
         # quality gate (bootstrap.min_matches): while the two-view init is weak,
@@ -833,13 +876,13 @@ class VisualOdometry:
                 img = next(it)
             except StopIteration:
                 break
-            self.record(self._pose_result(self.state.R, self.state.t, False))
+            self._emit(self._pose_result(self.state.R, self.state.t, False), on_frame)
             frames.append(img)
             produced += 1
             extends += 1
             n_inl = self.bootstrap(frames)
         # pose for the bootstrap window's end frame
-        self.record(self._pose_result(self.state.R, self.state.t, True))
+        self._emit(self._pose_result(self.state.R, self.state.t, True), on_frame)
         return self.run_continue(
             it, n_frames, produced,
             on_frame=on_frame, checkpoint_every=checkpoint_every,
@@ -871,13 +914,13 @@ class VisualOdometry:
                 rebootstrap_buf.append(img)
                 if len(rebootstrap_buf) < skip + 1:
                     # burst still filling: hold the last-known anchor pose
-                    self.record(self._pose_result(anchor[0], anchor[1], False))
+                    self._emit(self._pose_result(anchor[0], anchor[1], False), on_frame)
                     continue
                 scale = anchor[2] * (len(rebootstrap_buf) - 1) if anchor[2] else None
                 n_inl = self.bootstrap(rebootstrap_buf, R0=anchor[0], t0=anchor[1], scale=scale)
                 if n_inl >= min_m:
                     rebootstrap_buf = []
-                    self.record(self._pose_result(self.state.R, self.state.t, True))
+                    self._emit(self._pose_result(self.state.R, self.state.t, True), on_frame)
                     continue
                 if n_inl < max(min_m // 4, 4) and slides < 30:
                     # tracking is broken from the window START (e.g. its leading
@@ -887,30 +930,29 @@ class VisualOdometry:
                     # corrupted frame produces a garbage map at garbage scale
                     rebootstrap_buf.pop(0)
                     slides += 1
-                    self.record(self._pose_result(anchor[0], anchor[1], False))
+                    self._emit(self._pose_result(anchor[0], anchor[1], False), on_frame)
                     continue
                 if len(rebootstrap_buf) < skip + 1 + max_extend:
                     # weak but live geometry (few inliers: low parallax/texture):
                     # extend the window end for more baseline; hold the anchor
                     # pose rather than trusting a weak map
-                    self.record(self._pose_result(anchor[0], anchor[1], False))
+                    self._emit(self._pose_result(anchor[0], anchor[1], False), on_frame)
                     continue
                 # best effort: accept the weak init rather than stalling forever
                 rebootstrap_buf = []
-                self.record(self._pose_result(self.state.R, self.state.t, False))
+                self._emit(self._pose_result(self.state.R, self.state.t, False), on_frame)
                 continue
             res = self.step(img)
-            self.record(res)
-            if on_frame is not None:
-                # index by the trajectory (restored across --resume), not the
-                # session-local results list — keeps the per-frame record stream
-                # index-exact after a checkpoint resume
-                on_frame(len(self.trajectory) - 1, res)
+            # _emit indexes by the trajectory (restored across --resume), not the
+            # session-local results list — keeps the per-frame record stream
+            # index-exact after a checkpoint resume
+            self._emit(res, on_frame)
             if int(self.state.health) >= 2:
                 # tracking collapsed → re-bootstrap from the current frame burst,
                 # anchored at the last pose AND at the pre-failure metric scale
                 # (median healthy velocity) — closes the scale seam the reference
                 # leaves open (``src/vo_pipeline.py:314-324``)
+                self.n_rebootstraps += 1
                 rebootstrap_buf = [img]
                 slides = 0
                 anchor = (np.asarray(self.state.R), np.asarray(self.state.t),

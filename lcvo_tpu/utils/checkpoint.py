@@ -26,10 +26,14 @@ def _flatten(tree) -> dict:
     return flat
 
 
-def save_checkpoint(path: str, state, window=None, trajectory=None, frame_idx: int | None = None, rng_key=None, poses=None, pose_ok_flags=None):
+def save_checkpoint(path: str, state, window=None, trajectory=None, frame_idx: int | None = None, rng_key=None, poses=None, pose_ok_flags=None, extras: dict | None = None):
     """Serialize VO state (+ optional BA window, host-side trajectory and full
-    4x4 poses, and the driver's RNG key — needed for bit-exact resume) to npz."""
+    4x4 poses, and the driver's RNG key — needed for bit-exact resume) to npz.
+    ``extras``: small host-side scalars (e.g. the recovery counter) stored as
+    ``extra:<name>`` keys."""
     payload = {f"state:{k}": v for k, v in _flatten(state).items()}
+    for k, v in (extras or {}).items():
+        payload[f"extra:{k}"] = np.asarray(v)
     if window is not None:
         payload.update({f"window:{k}": v for k, v in _flatten(window).items()})
     if trajectory is not None and len(trajectory):
@@ -71,4 +75,5 @@ def load_checkpoint(path: str, state_template, window_template=None):
     rng_key = jnp.asarray(data["rng_key"]) if "rng_key" in data else None
     poses = [p for p in data["poses"]] if "poses" in data else None
     flags = [bool(f) for f in data["pose_ok_flags"]] if "pose_ok_flags" in data else None
-    return state, window, trajectory, frame_idx, rng_key, poses, flags
+    extras = {k[len("extra:"):]: data[k] for k in data.files if k.startswith("extra:")}
+    return state, window, trajectory, frame_idx, rng_key, poses, flags, extras

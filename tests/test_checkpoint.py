@@ -36,7 +36,7 @@ def test_state_roundtrip(tmp_path):
     save_checkpoint(p, vo.state, trajectory=vo.trajectory, frame_idx=12)
 
     template = st.make_vo_state(cfg, (128, 320))
-    state2, _, traj2, fidx, _key, _poses, _flags = load_checkpoint(p, template)
+    state2, _, traj2, fidx, _key, _poses, _flags, _extras = load_checkpoint(p, template)
     assert fidx == 12
     assert len(traj2) == len(vo.trajectory)
     # bitwise round-trip of every leaf

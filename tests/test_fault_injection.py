@@ -207,3 +207,39 @@ def test_total_track_loss_increments_health(seq, cfg):
     res = vo.step(seq.frame(n_boot + 1))
     assert not bool(res.pose_ok)
     assert int(vo.state.health) >= 1
+
+
+def test_chunked_cli_summary_reports_recovery(tmp_path):
+    """The CLI's printed summary must tell the truth through a recovery: held
+    anchor frames get pose_ok=False metrics rows and the re-bootstrap is counted
+    (VERDICT r3 #3 — previously a replay with N recoveries printed the same
+    pose_ok_rate as one with zero). Full product flow: corrupted kitti-format
+    dataset on disk → chunked CLI → summary fields."""
+    from PIL import Image
+
+    n = 48
+    seq4 = SyntheticSequence(n_frames=n, width=416, height=160)
+    rng = np.random.default_rng(7)
+    root = tmp_path / "kitti-dataset"
+    (root / "05" / "image_0").mkdir(parents=True)
+    (root / "poses").mkdir()
+    for i in range(n):
+        f = np.clip(seq4.frame(i), 0, 255)
+        if 20 <= i < 23:  # corruption burst → health collapse mid-chunk
+            f = rng.uniform(0, 255, size=f.shape)
+        Image.fromarray(f.astype(np.uint8)).save(root / "05" / "image_0" / f"{i:06d}.png")
+    rows = [np.hstack([seq4.R_wc[i], seq4.t_wc[i].reshape(3, 1)]).reshape(-1) for i in range(n)]
+    np.savetxt(root / "poses" / "05.txt", np.stack(rows))
+    p0 = np.hstack([seq4.K, np.zeros((3, 1))]).reshape(-1)
+    (root / "05" / "calib.txt").write_text("P0: " + " ".join(f"{v:.12e}" for v in p0) + "\n")
+
+    from lcvo_tpu.cli import run as cli
+
+    out = cli.main([
+        "--dataset", "kitti", "--data-root", str(tmp_path),
+        "--frames", str(n), "--chunked", "--out", str(tmp_path / "run"),
+    ])
+    assert out["n_rebootstraps"] >= 1, out
+    assert out["pose_ok_rate"] < 1.0, out
+    # every trajectory entry has a metrics row — recoveries included
+    assert out["metric_rows"] == out["frames"], out

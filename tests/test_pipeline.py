@@ -179,3 +179,16 @@ def test_chunked_ba_matches_per_frame(seq):
     delta = np.linalg.norm(est_a[:n] - est_b[:n], axis=1)
     assert np.median(delta) < 0.1, f"chunked-BA trajectory diverged: median {np.median(delta):.3f} m"
     assert bool(np.asarray(vo_b.window.kf_valid).any())
+
+
+def test_run_short_stream_raises(seq):
+    """A stream shorter than bootstrap.frame_gap + 1 must fail with a clear
+    ValueError — the public API's first line of user contact (VERDICT r3 #8),
+    not an unguarded StopIteration."""
+    cfg = small_cfg()
+    vo = VisualOdometry(cfg, seq.K)
+    with pytest.raises(ValueError, match="frame_gap"):
+        vo.run((seq.frame(i) for i in range(2)), n_frames=2)
+    vo2 = VisualOdometry(cfg, seq.K)
+    with pytest.raises(ValueError, match="frame_gap"):
+        vo2.run_chunked((seq.frame(i) for i in range(3)), chunk=4, n_frames=3)
