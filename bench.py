@@ -46,6 +46,25 @@ REF_FPS = {
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _CACHE = os.path.join(_DIR, "benchmarks", ".frame_cache.npz")
+_TURN_CACHE = os.path.join(_DIR, "benchmarks", ".turn_cache.npz")
+
+
+def _turn_frames(n_frames, W, H):
+    """KITTI-res arena-loop frames with two sustained 90° turns (2°/frame) AND a
+    moving occluder — the turn/occluder stress profile of the reference's KITTI
+    05 envelope (VERDICT r3 #6), cached on disk as uint8."""
+    from lcvo_tpu.data.render_jax import FastArenaRenderer
+    from lcvo_tpu.data.synthetic import trajectory_loop
+
+    traj = trajectory_loop(n_frames, speed=0.35, straight_frames=100, turn_frames=45)
+    seq = FastArenaRenderer(traj, W, H, occluder=True)
+    if os.path.exists(_TURN_CACHE):
+        d = np.load(_TURN_CACHE)
+        if d["frames"].shape[0] >= n_frames and d["frames"].shape[1:] == (H, W):
+            return [f for f in d["frames"][:n_frames]], seq
+    frames = np.stack([seq.frame(i) for i in range(n_frames)])
+    np.savez_compressed(_TURN_CACHE, frames=frames)
+    return [f for f in frames], seq
 
 
 def _frames(n_frames, W, H, speed=0.35):
@@ -139,6 +158,39 @@ def _measure_latency(cfg, frames, K, n=24):
     return dt / min(n, len(imgs) - 1) * 1e3
 
 
+def _measure_latency_device(cfg, frames, K, n=48):
+    """DEVICE-ONLY per-frame latency of the single-dispatch step: an N-deep
+    dependent chain of process_frame dispatches (state feeds state — no
+    batching, no scan) fenced ONCE at the end, so the tunnel round trip is
+    amortized to ~1/N per frame. This is the per-frame latency a host-attached
+    deployment (PCIe, microsecond RTT) would see in the online operating mode —
+    the number the reference's "viable in real-time" framing is about
+    (report §3.2); ``_measure_latency`` bounds it from above with the full
+    tunnel RTT included."""
+    import jax
+    import jax.numpy as jnp
+
+    from lcvo_tpu.pipeline import VisualOdometry
+
+    vo = VisualOdometry(cfg, K)
+    gap = cfg.bootstrap.frame_gap
+    vo.bootstrap(frames[: gap + 1])
+    pool = frames[gap + 1 :]
+    n = min(n, len(pool) - 1)
+    imgs = [jax.device_put(jnp.asarray(pool[i], jnp.float32)) for i in range(n + 1)]
+    keys = list(jax.random.split(vo._next_key(), n + 1))
+    state = vo.state
+    # warmup: compile + sync (also lands the staged images)
+    state, res = vo._process(state, imgs[0], keys[0])
+    float(np.asarray(res.t[0]))
+    t0 = time.perf_counter()
+    for i in range(1, n + 1):
+        state, res = vo._process(state, imgs[i], keys[i])
+    float(np.asarray(res.t[0]))  # one fence for the whole dependent chain
+    dt = time.perf_counter() - t0
+    return dt / n * 1e3
+
+
 def _cfg_for(mode, W, H):
     from lcvo_tpu.config import load_config
 
@@ -176,7 +228,9 @@ def main():
         cfg = _cfg_for(mode, W, H)
         modes[mode] = round(_measure_mode(cfg, frames, K), 2)
 
-    latency_ms = round(_measure_latency(_cfg_for("sift-sift", W, H), frames, K), 2)
+    cfg_lat = _cfg_for("sift-sift", W, H)
+    latency_ms = round(_measure_latency(cfg_lat, frames, K), 2)
+    latency_dev_ms = round(_measure_latency_device(cfg_lat, frames, K), 2)
 
     fps = modes["sift-sift"]
     print(
@@ -191,7 +245,13 @@ def main():
                 "mode_vs_baseline": {
                     m: round(v / REF_FPS[m], 2) for m, v in modes.items()
                 },
-                "latency_ms_per_frame": latency_ms,
+                # tunnel: per-dispatch host readback INCLUDING the ~15-20 ms
+                # axon tunnel round trip (upper bound); device: dependent-chain
+                # measurement — the on-device per-frame latency a host-attached
+                # deployment would see (the real-time number, report §3.2)
+                "latency_ms_tunnel": latency_ms,
+                "latency_ms_device": latency_dev_ms,
+                "latency_ms_per_frame": latency_ms,  # back-compat alias (tunnel)
             }
         )
     )
@@ -253,6 +313,17 @@ def quality():
             ate_rmse(np.asarray(traj), gt[: len(traj)]), 4
         )
 
+    # --- turn + occluder stress at KITTI res (VERDICT r3 #6): two sustained
+    # 90° corners (2°/frame) + an independently moving billboard, ≥300 frames
+    # through the chunked scan on the chip ---
+    n_t = gap + 1 + 19 * 16  # bootstrap + 19 full chunks = 311
+    frames_t, seq_t = _turn_frames(n_t, W, H)
+    vo_t = VisualOdometry(_cfg_for("sift-sift", W, H), seq_t.K)
+    traj_t = vo_t.run_chunked(np.stack(frames_t), chunk=16)
+    gt_t = seq_t.gt_positions()[gap : gap + len(traj_t)]
+    out["ate_turn_m"] = round(ate_rmse(np.asarray(traj_t), gt_t[: len(traj_t)]), 4)
+    out["turn_rebootstraps"] = vo_t.n_rebootstraps
+
     # --- golden deltas vs the CPU exact paths (subprocess forces cpu backend) ---
     img0, img1 = frames[10], frames[11]
     rng = np.random.default_rng(0)
@@ -288,6 +359,8 @@ def quality():
     bounds = {
         "ate_sift_sift_m": ("<", 0.5),
         "ate_shi_mask_m": ("<", 0.5),
+        # ~108 m path with two 90° corners + occluder; ~2x measured headroom
+        "ate_turn_m": ("<", 1.5),
         "klt_p90_delta_px": ("<", 0.5),
         "sift_recall_2px": (">", 0.7),
     }

@@ -1,0 +1,103 @@
+"""Diagnose turn-sequence drift: which factor drives the arena-loop ATE.
+
+Variants over the same 311-frame KITTI-res arena loop (two 90° corners):
+occluder on/off x BA on/off x candidate mode. Prints one JSON line per variant
+with Sim(3) ATE, KITTI-style segment error (exact GT poses are available), and
+scale-drift statistics (per-50-frame Umeyama scale of est vs gt — monocular
+scale drift through corners shows up here long before ATE explains it).
+
+Run (chip): python benchmarks/diag_turn.py [--variants base noocc ba ba_noocc shi]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def seg_scales(est, gt, seg=50):
+    """Per-segment Umeyama scale of est→gt: drift shows as spread."""
+    from lcvo_tpu.metrics import umeyama_alignment
+
+    out = []
+    for a in range(0, len(est) - seg, seg):
+        s, _, _ = umeyama_alignment(est[a : a + seg], gt[a : a + seg])
+        out.append(round(float(s), 4))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=311)
+    ap.add_argument("--variants", nargs="*", default=("base", "noocc", "ba"))
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(_DIR, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from lcvo_tpu.config import load_config
+    from lcvo_tpu.data.render_jax import FastArenaRenderer
+    from lcvo_tpu.data.synthetic import trajectory_loop
+    from lcvo_tpu.metrics import ate_rmse, kitti_odometry_error
+    from lcvo_tpu.pipeline import VisualOdometry
+
+    W, H = 1240, 376
+    n = args.frames
+    traj = trajectory_loop(n, speed=0.35, straight_frames=100, turn_frames=45)
+
+    frames_cache = {}
+
+    def frames_for(occluder):
+        if occluder not in frames_cache:
+            seq = FastArenaRenderer(traj, W, H, occluder=occluder)
+            frames_cache[occluder] = (
+                np.stack([seq.frame(i) for i in range(n)]).astype(np.float32), seq)
+        return frames_cache[occluder]
+
+    VAR = {
+        "base": dict(mode="sift-sift", ba=False, occ=True),
+        "noocc": dict(mode="sift-sift", ba=False, occ=False),
+        "ba": dict(mode="sift-sift", ba=True, occ=True),
+        "ba_noocc": dict(mode="sift-sift", ba=True, occ=False),
+        "shi": dict(mode="shi-mask", ba=False, occ=True),
+    }
+    for name in args.variants:
+        v = VAR[name]
+        frames, seq = frames_for(v["occ"])
+        ov = {"image_width": W, "image_height": H,
+              "find_new_candidates_method": v["mode"]}
+        if v["ba"]:
+            ov["ba"] = {"enabled": True}
+        cfg = load_config(overrides=ov)
+        vo = VisualOdometry(cfg, seq.K)
+        est = np.asarray(vo.run_chunked(frames, chunk=16))
+        gap = cfg.bootstrap.frame_gap
+        gt = seq.gt_positions()[gap : gap + len(est)]
+        gt_T = np.tile(np.eye(4), (n, 1, 1))
+        gt_T[:, :3, :3] = seq.R_wc
+        gt_T[:, :3, 3] = seq.t_wc
+        est_T = np.asarray(vo.poses)
+        t_pct, r_dpm, nseg = kitti_odometry_error(
+            est_T, gt_T[gap : gap + len(est)], lengths=(25, 50), step=10)
+        print(json.dumps({
+            "variant": name,
+            "ate_m": round(ate_rmse(est, gt[: len(est)]), 4),
+            "kitti_t_err_pct_25_50m": None if t_pct is None else round(t_pct, 3),
+            "kitti_r_err_deg_per_m": None if r_dpm is None else round(r_dpm, 5),
+            "pose_ok_rate": round(float(np.mean(vo.pose_ok_flags)), 4),
+            "n_rebootstraps": vo.n_rebootstraps,
+            "seg50_scales": seg_scales(est, gt[: len(est)]),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

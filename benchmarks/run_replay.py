@@ -1,19 +1,28 @@
-"""Full-scale flagship replay: 2,760 frames at KITTI resolution through the CLI
-(VERDICT r2 #1 — the reference's published run extent, ``README.md:16``).
+"""Full-scale replay harness: the reference's published envelope through the CLI
+(VERDICT r2 #1 / r3 #1 — ``README.md:16,25,33``, ``src/main.py:14-65``):
+
+    kitti    2,760 frames at 1240x376 (straight corridor, or the turn-rich loop
+             when --data-root points at datasets/turn)
+    malaga   2,120 frames at 800x600 (timestamp-interpolated GPS ground truth)
+    parking  598 frames at 640x480 (BASELINE config 1: --no-ba, shi-mask)
 
 Drives ``python -m lcvo_tpu.cli.run --chunked`` as a subprocess over the on-disk
-KITTI-format dataset from make_replay_dataset.py, with sift-sift + sliding-window
-BA + periodic checkpoints, while sampling the child's RSS (the streaming ingest
-must hold O(chunk) frames — staging 2,760 KITTI frames would be ~5.1 GB).
+dataset from make_replay_dataset.py, with periodic checkpoints, while sampling
+the child's RSS (the streaming ingest must hold O(chunk) frames — staging 2,760
+KITTI frames would be ~5.1 GB).
 
-Then rehearses failure recovery at scale: a second run is KILLED mid-replay
-(SIGKILL, no cleanup) and resumed from its last checkpoint; the resumed
-trajectory must match the uninterrupted one (same chunk boundaries + checkpointed
-RNG key -> deterministic continuation).
+``--kill-resume`` additionally rehearses failure recovery at scale: a second run
+is KILLED mid-replay (SIGKILL, no cleanup) and resumed from its last checkpoint;
+the resumed trajectory must match the uninterrupted one (same chunk boundaries +
+checkpointed RNG key -> deterministic continuation).
 
-Writes REPLAY_r{N}.json at the repo root and prints it.
+Writes REPLAY_r{N}_{tag}.json at the repo root and prints it.
 
-Run (chip):  python benchmarks/run_replay.py [--frames 2760] [--round 3]
+Run (chip), round-4 envelope:
+    python benchmarks/run_replay.py --data-root datasets/turn --tag kitti_turn --kill-resume
+    python benchmarks/run_replay.py --dataset malaga --data-root datasets/malaga --frames 2120
+    python benchmarks/run_replay.py --dataset parking --data-root datasets/parking-root \
+        --frames 598 --mode shi-mask --no-ba
 """
 
 from __future__ import annotations
@@ -31,11 +40,12 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _cli_args(out, frames, extra=()):
+def _cli_args(out, frames, dataset="kitti", data_root=None, mode="sift-sift",
+              ba=True, extra=()):
     return [
         sys.executable, "-u", "-m", "lcvo_tpu.cli.run",
-        "--dataset", "kitti", "--data-root", os.path.join(REPO, "datasets"),
-        "--mode", "sift-sift", "--ba", "--chunked",
+        "--dataset", dataset, "--data-root", data_root or os.path.join(REPO, "datasets"),
+        "--mode", mode, *(("--ba",) if ba else ()), "--chunked",
         "--frames", str(frames),
         "--checkpoint-every", "512",
         "--out", out,
@@ -113,15 +123,28 @@ def steady_fps(metrics_path):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=2760)
-    ap.add_argument("--round", type=int, default=3)
+    ap.add_argument("--round", type=int, default=4)
+    ap.add_argument("--dataset", default="kitti", choices=("kitti", "malaga", "parking"))
+    ap.add_argument("--data-root", default=None,
+                    help="data_root holding the dataset folder (default: <repo>/datasets)")
+    ap.add_argument("--mode", default="sift-sift")
+    ap.add_argument("--no-ba", action="store_true", help="disable sliding-window BA "
+                    "(BASELINE config 1: KLT + P3P only — the parking preset)")
+    ap.add_argument("--tag", default=None,
+                    help="artifact suffix: REPLAY_r{N}_{tag}.json (default: dataset name)")
+    ap.add_argument("--kill-resume", action="store_true",
+                    help="also rehearse SIGKILL mid-replay + --resume (runs the "
+                         "replay twice more)")
     ap.add_argument("--kill-after", type=float, default=20.0,
                     help="seconds after run B's first checkpoint appears to SIGKILL")
     args = ap.parse_args()
 
+    tag = args.tag or args.dataset
+    ba = not args.no_ba
     runs = os.path.join(REPO, "runs")
     os.makedirs(runs, exist_ok=True)
-    out_a = os.path.join(runs, "replay_a")
-    out_b = os.path.join(runs, "replay_b")
+    out_a = os.path.join(runs, f"replay_{tag}_a")
+    out_b = os.path.join(runs, f"replay_{tag}_b")
     # a leftover checkpoint from a prior invocation would start run B's kill
     # timer immediately (SIGKILL during compile) and make the resume restore
     # STALE state — always start from clean output dirs (ADVICE r3)
@@ -130,40 +153,23 @@ def main():
     shutil.rmtree(out_a, ignore_errors=True)
     shutil.rmtree(out_b, ignore_errors=True)
 
+    def cli(out, extra=()):
+        return _cli_args(out, args.frames, dataset=args.dataset,
+                         data_root=args.data_root, mode=args.mode, ba=ba, extra=extra)
+
     # --- run A: uninterrupted full replay, RSS-sampled ---
-    rc, peak_a, wall_a, lines = run_sampled(_cli_args(out_a, args.frames))
+    rc, peak_a, wall_a, lines = run_sampled(cli(out_a))
     if rc != 0:
         print("\n".join(lines[-30:]))
         raise SystemExit(f"replay A failed rc={rc}")
     summary = json.loads(lines[-1])
 
-    # --- run B: kill mid-replay (after its first checkpoint lands), resume ---
-    ck = os.path.join(out_b, "checkpoint.npz")
-    rc_b, peak_b, wall_b, lines_b = run_sampled(
-        _cli_args(out_b, args.frames), kill_after_ckpt=(ck, args.kill_after)
-    )
-    resumed = False
-    resume_match = None
-    if os.path.exists(ck):
-        rc_r, peak_r, wall_r, lines_r = run_sampled(
-            _cli_args(out_b, args.frames, extra=("--resume", ck))
-        )
-        if rc_r == 0:
-            resumed = True
-            tr_a = np.load(os.path.join(out_a, "trajectory.npz"))["positions"]
-            tr_b = np.load(os.path.join(out_b, "trajectory.npz"))["positions"]
-            resume_match = bool(
-                tr_a.shape == tr_b.shape
-                and np.allclose(tr_a, tr_b, atol=1e-3)
-            )
-            peak_b = max(peak_b, peak_r)
-        else:
-            print("\n".join(lines_r[-30:]))
-
     report = {
-        "metric": "full_scale_replay_kitti_res",
+        "metric": f"full_scale_replay_{tag}",
         "frames": args.frames,
-        "mode": "sift-sift+ba, chunked streaming, checkpoint-every 512",
+        "mode": f"{args.mode}{'+ba' if ba else ''}, chunked streaming, checkpoint-every 512",
+        "dataset": args.dataset,
+        "data_root": args.data_root,
         "wall_s": round(wall_a, 1),
         "frames_per_s": round(summary.get("frames", 0) / wall_a, 2),
         "frames_per_s_steady": steady_fps(os.path.join(out_a, "metrics.jsonl")),
@@ -173,22 +179,48 @@ def main():
         "kitti_t_err_pct": summary.get("kitti_t_err_pct"),
         "kitti_r_err_deg_per_m": summary.get("kitti_r_err_deg_per_m"),
         "pose_ok_rate": summary.get("pose_ok_rate"),
+        "n_rebootstraps": summary.get("n_rebootstraps"),
         "peak_rss_mb": round(peak_a, 1),
         "rss_under_1gb": peak_a < 1024.0,
         # the pipeline stages O(chunk) frames; the remainder of RSS is the
         # axon tunnel client retaining ~1x the bytes of every H2D transfer
-        # (reproduced with a 3-line jnp.asarray probe, no pipeline code —
-        # BASELINE.md round 3). uint8 ingest cuts it 4x.
+        # (reproducible probe: benchmarks/probe_tunnel_rss.py; BASELINE.md
+        # round 3/4). uint8 ingest cuts it 4x.
         "rss_note": "tunnel client retains ~bytes-transferred; pipeline stages O(chunk)",
-        "kill_resume": {
+        "cli_summary": summary,
+    }
+
+    # --- optional: kill mid-replay (after its first checkpoint lands), resume ---
+    if args.kill_resume:
+        ck = os.path.join(out_b, "checkpoint.npz")
+        rc_b, peak_b, wall_b, lines_b = run_sampled(
+            cli(out_b), kill_after_ckpt=(ck, args.kill_after)
+        )
+        resumed = False
+        resume_match = None
+        if os.path.exists(ck):
+            rc_r, peak_r, wall_r, lines_r = run_sampled(
+                cli(out_b, extra=("--resume", ck))
+            )
+            if rc_r == 0:
+                resumed = True
+                tr_a = np.load(os.path.join(out_a, "trajectory.npz"))["positions"]
+                tr_b = np.load(os.path.join(out_b, "trajectory.npz"))["positions"]
+                resume_match = bool(
+                    tr_a.shape == tr_b.shape
+                    and np.allclose(tr_a, tr_b, atol=1e-3)
+                )
+                peak_b = max(peak_b, peak_r)
+            else:
+                print("\n".join(lines_r[-30:]))
+        report["kill_resume"] = {
             "killed_s_after_first_checkpoint": args.kill_after,
             "resumed": resumed,
             "trajectory_matches_uninterrupted": resume_match,
             "peak_rss_mb": round(peak_b, 1),
-        },
-        "cli_summary": summary,
-    }
-    path = os.path.join(REPO, f"REPLAY_r{args.round:02d}.json")
+        }
+
+    path = os.path.join(REPO, f"REPLAY_r{args.round:02d}_{tag}.json")
     with open(path, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report))

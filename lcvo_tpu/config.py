@@ -72,6 +72,15 @@ class KLTConfig:
     max_residual: float = 12.0     # mean |I_t - I_{t+1}| over patch to keep a track
     max_displacement: float = 60.0 # tracks moving further than this are dropped
     border: int = 12               # tracks within this many px of border are dropped
+    margin: int = 6                # per-level block wander margin (px) for KLT calls
+    #                                WITHOUT a motion prior (bootstrap hops start
+    #                                from zero displacement; reach ≈ margin*(4+2+1)
+    #                                px at 3 levels must cover raw frame-to-frame flow)
+    track_margin: int = 4          # wander margin for the in-pipeline tracker, where
+    #                                the constant-velocity warm start (process_frame)
+    #                                absorbs the bulk displacement — the margin only
+    #                                covers prediction error, so the extracted block
+    #                                (dominant KLT HBM stream) shrinks
     iter_dtype: str = "float32"    # storage dtype of the LK iteration loop's
     #                                re-read tensors (blocks/template/gradients).
     #                                'bfloat16' halves the tracker's dominant HBM

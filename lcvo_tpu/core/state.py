@@ -79,6 +79,11 @@ class VOState(NamedTuple):
     # descriptors, ``src/main.py:294``; SURVEY §2.1 quirks)
     prev_desc: jnp.ndarray | None = None        # (D, 128) float32
     prev_desc_valid: jnp.ndarray | None = None  # (D,) bool
+    # previous frame's pose (the pose BEFORE R/t): with (R, t) it defines the
+    # last relative motion, which the tracker's constant-velocity warm start
+    # extrapolates to predict per-track flow for the next frame
+    prev_R: jnp.ndarray | None = None   # (3, 3)
+    prev_t: jnp.ndarray | None = None   # (3,)
 
 
 def make_track_table(capacity: int) -> TrackTable:
@@ -204,4 +209,6 @@ def make_vo_state(cfg, image_shape) -> VOState:
         health=jnp.zeros((), jnp.int32),
         prev_desc=jnp.zeros((D, 128), jnp.float32) if sift_sift else None,
         prev_desc_valid=jnp.zeros((D,), bool) if sift_sift else None,
+        prev_R=jnp.eye(3, dtype=jnp.float32),
+        prev_t=jnp.zeros((3,), jnp.float32),
     )

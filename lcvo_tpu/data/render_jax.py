@@ -118,12 +118,19 @@ def render_frame(R_wc, cam, Kinv, H: int, W: int, ground_y: float = 1.6,
                                    "z_hi", "seed"))
 def render_frame_arena(R_wc, cam, Kinv, H: int, W: int, ground_y: float,
                        x_lo: float, x_hi: float, z_lo: float, z_hi: float,
-                       seed: int = 7):
+                       seed: int = 7, occ=None):
     """Render one uint8 frame of an :class:`~lcvo_tpu.data.synthetic.ArenaWorld`:
     ground plane + four axis-aligned walls. The closed room means every ray hits
     textured geometry in any heading — required for loop trajectories with
     sustained 90° turns (the corridor's open ends would show void mid-turn).
-    Same lattice-hash texture and depth attenuation as :func:`render_frame`."""
+    Same lattice-hash texture and depth attenuation as :func:`render_frame`.
+
+    ``occ``: optional independently-moving textured billboard (static-world
+    violation, the arena analog of ``synthetic.SyntheticSequence(occluder=True)``):
+    a dict of traced arrays ``{"q": (3,) center, "right": (3,), "up": (3,),
+    "normal": (3,), "uoff": ()}`` — a 2x1.5 m quad at ``q`` spanned by
+    right/up, texture drifting by ``uoff`` (so tracks on it see independent
+    motion and must be rejected by RANSAC)."""
     u, v = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32) + 0.5,
                         jnp.arange(H, dtype=jnp.float32) + 0.5)
     rays = jnp.stack([u, v, jnp.ones_like(u)], axis=-1) @ Kinv.T
@@ -160,6 +167,19 @@ def render_frame_arena(R_wc, cam, Kinv, H: int, W: int, ground_y: float,
         hits.append(t_hit)
         texs.append(tex)
 
+    if occ is not None:
+        q, rt, up, nq = occ["q"], occ["right"], occ["up"], occ["normal"]
+        dn = jnp.einsum("hwc,c->hw", d, nq)
+        dn = jnp.where(jnp.abs(dn) > eps, dn, eps)
+        tq = jnp.dot(q - cam, nq) / dn
+        h3 = cam[None, None, :] + tq[..., None] * d
+        hu = jnp.einsum("hwc,c->hw", h3 - q[None, None, :], rt)
+        hv = jnp.einsum("hwc,c->hw", h3 - q[None, None, :], up)
+        on_quad = (jnp.abs(hu) < 1.0) & (hv > -0.75) & (hv < 0.75)
+        t_hit, tex = plane_hit(tq, on_quad, hu + occ["uoff"], hv, seed + 505, 0.95)
+        hits.append(t_hit)
+        texs.append(tex)
+
     hits = jnp.stack(hits)
     texs = jnp.stack(texs)
     best = jnp.argmin(hits, axis=0)
@@ -177,7 +197,8 @@ class FastArenaRenderer:
     ``synthetic.trajectory_loop``); the arena auto-sizes around it."""
 
     def __init__(self, trajectory: tuple, width: int, height: int,
-                 K: np.ndarray | None = None, margin: float = 8.0, seed: int = 7):
+                 K: np.ndarray | None = None, margin: float = 8.0, seed: int = 7,
+                 occluder: bool = False):
         from lcvo_tpu.data.synthetic import ArenaWorld, make_intrinsics
 
         self.R_wc, self.t_wc = trajectory
@@ -186,6 +207,24 @@ class FastArenaRenderer:
         self.world = ArenaWorld.around(self.t_wc, margin=margin, seed=seed)
         self.K = make_intrinsics(width, height) if K is None else np.asarray(K, np.float64)
         self._Kinv = jnp.asarray(np.linalg.inv(self.K), jnp.float32)
+        self.occluder = occluder
+
+    def _occ(self, i: int):
+        """Billboard 12 m ahead along the current heading, sweeping laterally
+        (independent motion) with drifting texture — always in view regardless
+        of where the loop trajectory points."""
+        R, cam = self.R_wc[i], self.t_wc[i]
+        fwd, right = R[:, 2], R[:, 0]
+        up = np.array([0.0, -1.0, 0.0])
+        x_q = -3.0 + 0.12 * (i % 50)
+        q = cam + fwd * 12.0 + right * x_q + np.array([0.0, -0.4, 0.0])
+        return {
+            "q": jnp.asarray(q, jnp.float32),
+            "right": jnp.asarray(right, jnp.float32),
+            "up": jnp.asarray(up, jnp.float32),
+            "normal": jnp.asarray(fwd, jnp.float32),
+            "uoff": jnp.float32(0.04 * i),
+        }
 
     def frame(self, i: int) -> np.ndarray:
         w = self.world
@@ -193,6 +232,7 @@ class FastArenaRenderer:
             jnp.asarray(self.R_wc[i], jnp.float32), jnp.asarray(self.t_wc[i], jnp.float32),
             self._Kinv, self.H, self.W, ground_y=w.ground_y,
             x_lo=w.x_lo, x_hi=w.x_hi, z_lo=w.z_lo, z_hi=w.z_hi, seed=w.seed,
+            occ=self._occ(i) if self.occluder else None,
         )
         return np.asarray(out)
 

@@ -31,9 +31,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Per-level wander margin (px) around the incoming displacement estimate. The
-# coarse-to-fine schedule means per-level corrections are small; 6 px per level
-# is ample for the 30 px full-res displacements KITTI motion produces.
+# Default per-level wander margin (px) around the incoming displacement
+# estimate. The coarse-to-fine schedule means per-level corrections are small;
+# 6 px per level covers the ~40 px raw full-res displacements KITTI motion
+# produces from a ZERO initial estimate (bootstrap hops). Callers with a motion
+# prior (``init_d`` — the pipeline's constant-velocity warm start) can shrink it:
+# the margin then only covers prediction error, and the extracted block area
+# (the tracker's dominant HBM stream, ∝ (w+2+2·margin)²) drops accordingly.
 _MARGIN = 6
 
 
@@ -104,7 +108,7 @@ def _extract_blocks(img: jnp.ndarray, centers: jnp.ndarray, S: int):
 
 
 def _track_level(prev_img, next_img, pts_l, d, window, iters, eps,
-                 iter_dtype=jnp.float32):
+                 iter_dtype=jnp.float32, margin: int = _MARGIN):
     """One pyramid level of IC-LK. pts_l, d in this level's pixel units.
 
     ``iter_dtype``: storage dtype of the loop-constant tensors the iteration body
@@ -122,7 +126,7 @@ def _track_level(prev_img, next_img, pts_l, d, window, iters, eps,
     # wander), so it only needs bilinear + gradient slack — 2/3 the block area.
     # (Measured timing-neutral at N=2048 — extraction is latency-bound, not
     # area-bound — kept for the lower VMEM/HBM footprint at larger N.)
-    S = w + 2 + 2 * _MARGIN
+    S = w + 2 + 2 * margin
     S_t = w + 2 + 2 * 2
     # edge-pad so a block fits around ANY in-image point (coarse levels are small,
     # and near-border tracks must not have their block shifted off-center)
@@ -194,7 +198,7 @@ def _track_level(prev_img, next_img, pts_l, d, window, iters, eps,
     return d, det_ok, sat, residual
 
 
-@partial(jax.jit, static_argnames=("window", "iters", "iter_dtype"))
+@partial(jax.jit, static_argnames=("window", "iters", "iter_dtype", "margin"))
 def pyramidal_klt(
     prev_pyramid: tuple,
     next_pyramid: tuple,
@@ -206,8 +210,16 @@ def pyramidal_klt(
     border: int = 12,
     eps: float = 0.01,
     iter_dtype: str = "float32",
+    margin: int = _MARGIN,
+    init_d: jnp.ndarray | None = None,
 ):
     """Track ``pts`` (N, 2) [x, y] from the previous frame into the next.
+
+    ``init_d`` (N, 2), full-resolution px: optional per-track initial displacement
+    (motion prior). The coarse-to-fine corrections then only cover the prediction
+    ERROR, so sustained camera rotation (50+ px/frame edge flow in 90° turns) stays
+    inside a small per-level ``margin`` — the analog of OpenCV's
+    ``OPTFLOW_USE_INITIAL_FLOW``, fed by the pipeline's constant-velocity pose model.
 
     Returns (new_pts (N, 2), status (N,) bool, residual (N,)). ``status`` combines:
     well-conditioned gradient Hessian at every level, final photometric residual below
@@ -218,7 +230,11 @@ def pyramidal_klt(
     levels = len(prev_pyramid)
     N = pts.shape[0]
     idt = jnp.dtype(iter_dtype)
-    d = jnp.zeros((N, 2), pts.dtype)
+    if init_d is None:
+        d = jnp.zeros((N, 2), pts.dtype)
+    else:
+        # seed the coarsest level with the prior, in that level's pixel units
+        d = init_d.astype(pts.dtype) * (2.0 ** -(levels - 1))
     ok = jnp.ones((N,), bool)
     residual = jnp.zeros((N,), pts.dtype)
     for l in reversed(range(levels)):
@@ -226,7 +242,7 @@ def pyramidal_klt(
         pts_l = pts * scale
         d, det_ok, sat, residual = _track_level(
             prev_pyramid[l], next_pyramid[l], pts_l, d, window, iters, eps,
-            iter_dtype=idt,
+            iter_dtype=idt, margin=margin,
         )
         ok = ok & det_ok
         if l == 0:

@@ -111,3 +111,28 @@ def test_klt_status_drops_flat_regions(rng):
     pts = jnp.asarray([[64.0, 64.0]])
     _, status, _ = klt.pyramidal_klt(pyr, pyr, pts, window=15, iters=5)
     assert not bool(np.asarray(status)[0])
+
+
+def test_klt_init_d_extends_reach(rng):
+    """A motion prior (init_d) must let KLT converge on displacements far beyond
+    the zero-start wander reach at a SMALL margin — the mechanism behind the
+    pipeline's constant-velocity warm start (sustained turns produce 50+ px
+    edge flow at KITTI resolution)."""
+    img = synth_texture(rng, 192, 256, smooth=2.5)
+    shift = (26.0, -3.0)  # beyond margin-3 three-level zero-start reach (~21 px)
+    yy, xx = np.mgrid[0:192, 0:256].astype(np.float32)
+    nxt = np.asarray(interp.bilinear_sample(jnp.asarray(img), jnp.asarray(yy - shift[1]), jnp.asarray(xx - shift[0])))
+    pyr0 = pyramid.build_pyramid(jnp.asarray(img), 3)
+    pyr1 = pyramid.build_pyramid(jnp.asarray(nxt), 3)
+    pts = jnp.asarray(rng.uniform([50, 40], [190, 140], size=(48, 2)).astype(np.float32))
+    # zero start at margin 3: the true shift is out of reach for most tracks
+    _, st0, _ = klt.pyramidal_klt(pyr0, pyr1, pts, window=15, iters=10, margin=3)
+    # an imperfect prior (2.5 px off) brings it within the margin
+    prior = jnp.tile(jnp.asarray([[shift[0] - 2.0, shift[1] + 1.5]], jnp.float32), (48, 1))
+    new_pts, st1, _ = klt.pyramidal_klt(pyr0, pyr1, pts, window=15, iters=10,
+                                        margin=3, init_d=prior)
+    assert np.asarray(st0).mean() < 0.6, "zero-start unexpectedly reached the shift"
+    ok = np.asarray(st1)
+    assert ok.mean() > 0.8, f"warm start survival {ok.mean():.2f}"
+    err = np.asarray(new_pts)[ok] - (np.asarray(pts)[ok] + np.asarray(shift))
+    assert np.percentile(np.abs(err), 90) < 0.3

@@ -58,3 +58,26 @@ def test_textureless_band_and_moving_occluder():
     vo, ate = _run(seq, cfg)
     assert ate < 0.5, f"textureless+occluder ATE {ate:.2f} m"
     assert all(bool(r.pose_ok) for r in vo.results[-5:])
+
+
+def test_loop_turn_arena_with_warm_start():
+    """Full 90° corner (3 °/frame) inside the closed arena world at small res:
+    the constant-velocity KLT warm start must keep tracking alive through the
+    sustained rotation (edge flow exceeds the zero-start wander reach) and the
+    trajectory must stay metrically consistent around the corner."""
+    from lcvo_tpu.data.render_jax import FastArenaRenderer
+    from lcvo_tpu.data.synthetic import trajectory_loop
+
+    n = 70
+    cfg = _cfg()
+    traj = trajectory_loop(n, speed=0.3, straight_frames=25, turn_frames=30)
+    r = FastArenaRenderer(traj, W, H, margin=6.0)
+    vo = VisualOdometry(cfg, r.K)
+    est = vo.run((r.frame(i).astype(np.float32) for i in range(n)), n)
+    gap = cfg.bootstrap.frame_gap
+    assert len(est) == n - gap
+    gt = r.gt_positions()[gap : gap + len(est)]
+    ate = ate_rmse(np.stack(est), gt)
+    assert ate < 0.8, f"arena-loop ATE {ate:.2f} m"
+    assert vo.n_rebootstraps == 0
+    assert all(bool(r_.pose_ok) for r_ in vo.results[-5:])
