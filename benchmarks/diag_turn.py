@@ -65,6 +65,11 @@ def main():
 
     VAR = {
         "base": dict(mode="sift-sift", ba=False, occ=True),
+        "seed1": dict(mode="sift-sift", ba=False, occ=True, seed=1),
+        "seed2": dict(mode="sift-sift", ba=False, occ=True, seed=2),
+        "ratio0": dict(mode="sift-sift", ba=False, occ=True, ratio=0.0),
+        "ratio0_seed1": dict(mode="sift-sift", ba=False, occ=True, ratio=0.0, seed=1),
+        "alpha2": dict(mode="sift-sift", ba=False, occ=True, alpha=2.0),
         "noocc": dict(mode="sift-sift", ba=False, occ=False),
         "ba": dict(mode="sift-sift", ba=True, occ=True),
         "ba_noocc": dict(mode="sift-sift", ba=True, occ=False),
@@ -77,6 +82,12 @@ def main():
               "find_new_candidates_method": v["mode"]}
         if v["ba"]:
             ov["ba"] = {"enabled": True}
+        if "seed" in v:
+            ov["seed"] = v["seed"]
+        if "ratio" in v:
+            ov["triangulation"] = {"max_depth_baseline_ratio": v["ratio"]}
+        if "alpha" in v:
+            ov.setdefault("triangulation", {})["alpha_deg"] = v["alpha"]
         cfg = load_config(overrides=ov)
         vo = VisualOdometry(cfg, seq.K)
         est = np.asarray(vo.run_chunked(frames, chunk=16))

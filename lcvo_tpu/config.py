@@ -84,8 +84,16 @@ class KLTConfig:
     iter_dtype: str = "float32"    # storage dtype of the LK iteration loop's
     #                                re-read tensors (blocks/template/gradients).
     #                                'bfloat16' halves the tracker's dominant HBM
-    #                                stream; extraction + accumulation stay f32
-    #                                (measured sub-0.01 px vs f32, test_ops.py)
+    #                                stream and buys +6% fps (sweep_klt_r4), with
+    #                                sub-0.01 px single-pair deltas (test_ops.py)
+    #                                — but the round-4 turn-rich quality gate
+    #                                REJECTED it as the default: through 90°
+    #                                corners (full map turnover under rotation)
+    #                                the compounded tracking noise drives
+    #                                arena-loop ATE 1.28 → 9.17 m (BASELINE.md
+    #                                round 4). f32 stays the default; bf16 is a
+    #                                deliberate per-deployment trade for
+    #                                turn-light trajectories.
 
 
 @dataclass(frozen=True)
@@ -119,6 +127,16 @@ class TriangulationConfig:
     min_depth: float = 1.0
     max_reproj_px: float = 3.0     # post-triangulation reprojection gate
     max_candidate_age: int = 90    # candidates older than this (frames) are dropped
+    max_depth_baseline_ratio: float = 30.0  # reject triangulations with depth >
+    #                                ratio x the first-obs↔current baseline: at
+    #                                low parallax, linear-triangulation noise is
+    #                                biased toward NEAR depths (inverse-depth
+    #                                noise), and a map rebuilt from such points
+    #                                during rotation-heavy segments leaks metric
+    #                                scale (measured: arena-loop seg-scale 2→12
+    #                                through 90° corners without this gate).
+    #                                30 ≈ a 1.9° effective parallax floor; 0
+    #                                disables.
 
 
 @dataclass(frozen=True)

@@ -175,6 +175,14 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
             & (z_first > tri.min_depth)
             & (re_c < tri.max_reproj_px**2)
         )
+        if tri.max_depth_baseline_ratio > 0:
+            # depth/baseline gate: low-parallax triangulations carry inverse-
+            # depth-biased noise; promoting them during rotation-heavy map
+            # turnover leaks metric scale (see TriangulationConfig)
+            c_first = geo.camera_center(cands.R_f, cands.t_f)
+            c_cur = geo.camera_center(R, t)
+            baseline = jnp.linalg.norm(c_first - c_cur[None, :], axis=-1)
+            geom_ok = geom_ok & (z_cur < tri.max_depth_baseline_ratio * baseline)
         promote = cands.valid & (ang > alpha_rad) & geom_ok
         tracks = st.insert_into_tracks(tracks, cands.C, X_tri, promote)
         n_promoted = jnp.sum(promote)

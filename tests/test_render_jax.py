@@ -35,3 +35,26 @@ def test_gt_pose_rows_roundtrip():
     P = rows.reshape(10, 3, 4)
     np.testing.assert_allclose(P[:, :, 3], r.t_wc)
     np.testing.assert_allclose(P[:, :, :3], r.R_wc)
+
+
+def test_arena_renderer_closed_world():
+    """Arena frames must be fully textured in every heading (closed room): no
+    flat/void regions mid-turn, deterministic, and the occluder billboard only
+    changes a localized pixel set."""
+    import numpy as np
+
+    from lcvo_tpu.data.render_jax import FastArenaRenderer
+    from lcvo_tpu.data.synthetic import trajectory_loop
+
+    traj = trajectory_loop(60, speed=0.3, straight_frames=10, turn_frames=40)
+    r = FastArenaRenderer(traj, 128, 64)
+    # mid-turn frame: camera heading ~45-90 deg off axis
+    f = r.frame(40)
+    assert f.dtype == np.uint8 and f.shape == (64, 128)
+    assert f.std() > 10.0  # textured everywhere
+    # per-row variance: no large void band
+    assert (f.std(axis=1) > 3.0).mean() > 0.95
+    np.testing.assert_array_equal(f, r.frame(40))  # deterministic
+    r_occ = FastArenaRenderer(traj, 128, 64, occluder=True)
+    d = np.abs(r_occ.frame(40).astype(int) - f.astype(int)) > 5
+    assert 20 < d.sum() < 0.25 * f.size  # present but localized
