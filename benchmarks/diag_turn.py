@@ -70,6 +70,13 @@ def main():
         "ratio0": dict(mode="sift-sift", ba=False, occ=True, ratio=0.0),
         "ratio0_seed1": dict(mode="sift-sift", ba=False, occ=True, ratio=0.0, seed=1),
         "alpha2": dict(mode="sift-sift", ba=False, occ=True, alpha=2.0),
+        "reproj15": dict(mode="sift-sift", ba=False, occ=True, reproj=1.5),
+        "reproj15_seed1": dict(mode="sift-sift", ba=False, occ=True, reproj=1.5, seed=1),
+        "reproj15_seed2": dict(mode="sift-sift", ba=False, occ=True, reproj=1.5, seed=2),
+        "ba_reproj15": dict(mode="sift-sift", ba=True, occ=True, reproj=1.5),
+        "reproj10": dict(mode="sift-sift", ba=False, occ=True, reproj=1.0),
+        "ratio20": dict(mode="sift-sift", ba=False, occ=True, ratio=20.0),
+        "perframe": dict(mode="sift-sift", ba=False, occ=True, perframe=True),
         "noocc": dict(mode="sift-sift", ba=False, occ=False),
         "ba": dict(mode="sift-sift", ba=True, occ=True),
         "ba_noocc": dict(mode="sift-sift", ba=True, occ=False),
@@ -88,9 +95,14 @@ def main():
             ov["triangulation"] = {"max_depth_baseline_ratio": v["ratio"]}
         if "alpha" in v:
             ov.setdefault("triangulation", {})["alpha_deg"] = v["alpha"]
+        if "reproj" in v:
+            ov.setdefault("triangulation", {})["max_reproj_px"] = v["reproj"]
         cfg = load_config(overrides=ov)
         vo = VisualOdometry(cfg, seq.K)
-        est = np.asarray(vo.run_chunked(frames, chunk=16))
+        if v.get("perframe"):
+            est = np.asarray(vo.run((f for f in frames), len(frames)))
+        else:
+            est = np.asarray(vo.run_chunked(frames, chunk=16))
         gap = cfg.bootstrap.frame_gap
         gt = seq.gt_positions()[gap : gap + len(est)]
         gt_T = np.tile(np.eye(4), (n, 1, 1))

@@ -72,10 +72,17 @@ class KLTConfig:
     max_residual: float = 12.0     # mean |I_t - I_{t+1}| over patch to keep a track
     max_displacement: float = 60.0 # tracks moving further than this are dropped
     border: int = 12               # tracks within this many px of border are dropped
-    margin: int = 6                # per-level block wander margin (px) for KLT calls
+    margin: int = 8                # per-level block wander margin (px) for KLT calls
     #                                WITHOUT a motion prior (bootstrap hops start
     #                                from zero displacement; reach ≈ margin*(4+2+1)
-    #                                px at 3 levels must cover raw frame-to-frame flow)
+    #                                px at 3 levels must cover raw frame-to-frame
+    #                                flow). 8 → 56 px reach: a re-bootstrap DURING
+    #                                a 2°/frame turn sees ~50 px edge flow, which
+    #                                margin 6 (42 px) could not reach — the r4
+    #                                turn replay lost a 50-frame stretch to
+    #                                repeated in-turn recovery attempts.
+    #                                Bootstrap-only cost (the tracker itself uses
+    #                                track_margin + the warm start).
     track_margin: int = 4          # wander margin for the in-pipeline tracker, where
     #                                the constant-velocity warm start (process_frame)
     #                                absorbs the bulk displacement — the margin only
@@ -125,7 +132,12 @@ class TriangulationConfig:
     alpha_deg: float = 1.0
     max_depth: float = 120.0       # landmarks further than this are rejected
     min_depth: float = 1.0
-    max_reproj_px: float = 3.0     # post-triangulation reprojection gate
+    max_reproj_px: float = 3.0     # post-triangulation reprojection gate on
+    #                                promotion. A 1.5 px tightening looked like a
+    #                                turn-ATE win at one seed (1.28 → 1.05 m) but
+    #                                WIDENED the seed spread (2.93/3.81 vs
+    #                                1.81/1.88 at 3.0) — kept at the reference's
+    #                                operating point; see diag_turn.py matrix
     max_candidate_age: int = 90    # candidates older than this (frames) are dropped
     max_depth_baseline_ratio: float = 30.0  # reject triangulations with depth >
     #                                ratio x the first-obs↔current baseline: at

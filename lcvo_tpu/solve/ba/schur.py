@@ -192,17 +192,24 @@ def ba_solve(
     n_fix: int = 2,
     huber: float = 3e-3,
     lam0: float = 1e-4,
+    fix_rows=None,
 ) -> BAResult:
     """Run ``iters`` LM iterations on the window. All shapes static; the iteration is a
     ``lax.fori_loop`` with accept/reject by value (no data-dependent control flow).
 
     ``huber`` is in normalized-coordinate units (≈ px / fx). Frozen poses: the first
     ``n_fix`` window slots (gauge anchor — standard sliding-window practice; the
-    reference has no BA to compare).
+    reference has no BA to compare), or an explicit ``fix_rows`` (W,) bool mask.
+    Callers whose problem rows include EMPTY slots (a partially-filled keyframe
+    ring) must pass ``fix_rows`` marking real keyframes: freezing empty rows
+    leaves the live window's 7-DoF gauge — including monocular scale — anchored
+    by nothing but LM damping, and each refine then injects null-space drift
+    (measured: turn-sequence ATE 0.31 → 1.30 m before this fix; see
+    ``window.refine_window``).
     """
     R0, t0, X0, obs, mask = problem
     W = R0.shape[0]
-    fix_mask = jnp.arange(W) < n_fix
+    fix_mask = (jnp.arange(W) < n_fix) if fix_rows is None else fix_rows
 
     def cost_of(R, t, X):
         *_, c = _residuals_jacobians(R, t, X, obs, mask, huber)

@@ -112,7 +112,16 @@ def refine_window(
     driver can re-anchor the live pose.
     """
     problem, order = gather_problem(win, tracks, K_mat)
-    res = ba_solve(problem, iters=iters, n_fix=n_fix, huber=huber, lam0=lam0)
+    # gauge anchor: freeze the oldest n_fix REAL keyframes. Before the ring
+    # fills (and right after a re-bootstrap reset) the chronological order
+    # leads with EMPTY slots — freezing those instead of real poses leaves the
+    # window's gauge (incl. monocular scale) floating on LM damping alone,
+    # which injects scale drift every refine (ba_solve docstring). With ≤ n_fix
+    # real keyframes this freezes them ALL: landmark-only refinement.
+    kfv = win.kf_valid[order]
+    fix_rows = kfv & (jnp.cumsum(kfv) <= n_fix)
+    res = ba_solve(problem, iters=iters, n_fix=n_fix, huber=huber, lam0=lam0,
+                   fix_rows=fix_rows)
 
     adjusted = jnp.sum(problem.mask, axis=0) >= 2  # (K,)
     X_new = jnp.where(adjusted[:, None], res.X, tracks.X)
