@@ -130,7 +130,12 @@ class TriangulationConfig:
     angle through K^-1 and the first/current rotations."""
 
     alpha_deg: float = 1.0
-    max_depth: float = 120.0       # landmarks further than this are rejected
+    max_depth: float = 120.0       # landmarks further than this are rejected.
+    #                                Round-4 null result: raising to 300 produced
+    #                                a BIT-IDENTICAL 2,760-frame turn replay —
+    #                                the α-gate and the depth/baseline-ratio gate
+    #                                bind strictly earlier for far points, so
+    #                                this cap is a backstop, not an active gate.
     min_depth: float = 1.0
     max_reproj_px: float = 3.0     # post-triangulation reprojection gate on
     #                                promotion. A 1.5 px tightening looked like a
