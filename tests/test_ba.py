@@ -179,3 +179,87 @@ def test_sharded_ba_matches_single_device():
     np.testing.assert_allclose(np.asarray(res1.R), np.asarray(res8.R), atol=1e-4)
     np.testing.assert_allclose(np.asarray(res1.t), np.asarray(res8.t), atol=1e-4)
     np.testing.assert_allclose(np.asarray(res1.X), np.asarray(res8.X), atol=1e-3)
+
+
+def test_refine_window_recovers_biased_landmarks():
+    """Analytic BA validation (round 4): with exact keyframe poses and a
+    drift-realistic 1.5% depth bias on all landmarks, the window refine must
+    pull structure back to ground truth (median error -> cm level). This pins
+    the solver against the turn-replay scale-decay spiral: if BA can't undo
+    small near-bias, compounding drift is unfixable."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lcvo_tpu.core import geometry as geo
+    from lcvo_tpu.core import state as st
+    from lcvo_tpu.solve.ba import window as win_mod
+    from lcvo_tpu.solve.ba.schur import ba_solve
+
+    rng = np.random.default_rng(0)
+    K = np.array([[700.0, 0, 620], [0, 700.0, 188], [0, 0, 1]])
+    Kj = jnp.asarray(K, jnp.float32)
+    cap, W = 128, 10
+    X_gt = rng.uniform([-10, -2, 8], [10, 1.6, 60], (cap, 3)).astype(np.float32)
+    poses, yaw, pos = [], 0.0, np.zeros(3)
+    for _ in range(W):
+        yaw += np.deg2rad(10)
+        c, s = np.cos(yaw), np.sin(yaw)
+        R_wc = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        pos = pos + R_wc[:, 2] * 1.75
+        poses.append((R_wc.T.astype(np.float32), (-R_wc.T @ pos).astype(np.float32)))
+    win = win_mod.make_window(W, cap)
+    tracks = st.TrackTable(P=jnp.zeros((cap, 2)), X=jnp.asarray(X_gt),
+                           valid=jnp.ones(cap, bool), gen=jnp.zeros(cap, jnp.int32))
+    for R, t in poses:
+        uv, z = geo.project(Kj, jnp.asarray(R), jnp.asarray(t), jnp.asarray(X_gt))
+        uv = uv + rng.normal(0, 0.3, (cap, 2)).astype(np.float32)
+        win = win_mod.push(win, tracks._replace(P=uv, valid=jnp.asarray(np.asarray(z) > 1)),
+                           jnp.asarray(R), jnp.asarray(t))
+    problem, _ = win_mod.gather_problem(win, tracks, Kj)
+    m = np.asarray(problem.mask)
+    sel = m.sum(0) >= 2
+    assert sel.mean() > 0.9
+    X_bad = X_gt * 0.985  # 1.5% near-bias: the measured per-turn drift seed
+    res = ba_solve(problem._replace(X=jnp.asarray(X_bad)), iters=8, n_fix=2,
+                   huber=2.0 / 700, lam0=1e-4, fix_rows=jnp.ones(W, bool))
+    err_before = np.linalg.norm(X_bad - X_gt, axis=1)
+    err_after = np.linalg.norm(np.asarray(res.X) - X_gt, axis=1)
+    assert np.median(err_before[sel]) > 0.3
+    assert np.median(err_after[sel]) < 0.05, np.median(err_after[sel])
+
+
+def test_partial_window_gauge_is_anchored():
+    """With a partially-filled keyframe ring, refine_window must freeze REAL
+    keyframes (not the empty leading slots): a pure-gauge perturbation
+    (uniform scale of poses+landmarks) must NOT be introduced by the refine
+    when observations are exact (VERDICT-r4 gauge fix)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lcvo_tpu.core import geometry as geo
+    from lcvo_tpu.core import state as st
+    from lcvo_tpu.solve.ba import window as win_mod
+
+    rng = np.random.default_rng(1)
+    K = np.array([[700.0, 0, 620], [0, 700.0, 188], [0, 0, 1]])
+    Kj = jnp.asarray(K, jnp.float32)
+    cap, W = 96, 10
+    X_gt = rng.uniform([-8, -2, 6], [8, 1.6, 40], (cap, 3)).astype(np.float32)
+    win = win_mod.make_window(W, cap)
+    tracks = st.TrackTable(P=jnp.zeros((cap, 2)), X=jnp.asarray(X_gt),
+                           valid=jnp.ones(cap, bool), gen=jnp.zeros(cap, jnp.int32))
+    pos = np.zeros(3)
+    R_last = t_last = None
+    for k in range(3):  # only 3 of 10 ring slots filled
+        pos = pos + np.array([0.2, 0, 1.6])
+        R = np.eye(3, dtype=np.float32)
+        t = (-R @ pos).astype(np.float32)
+        uv, z = geo.project(Kj, jnp.asarray(R), jnp.asarray(t), jnp.asarray(X_gt))
+        win = win_mod.push(win, tracks._replace(P=uv, valid=jnp.asarray(np.asarray(z) > 1)),
+                           jnp.asarray(R), jnp.asarray(t))
+        R_last, t_last = R, t
+    win2, tracks2, R2, t2, res = win_mod.refine_window(
+        win, tracks, Kj, iters=5, n_fix=2, huber=2.0 / 700, lam0=1e-4)
+    # exact observations + anchored gauge: nothing should move materially
+    assert float(np.max(np.abs(np.asarray(tracks2.X) - X_gt))) < 0.05
+    assert float(np.linalg.norm(np.asarray(t2) - t_last)) < 0.02
