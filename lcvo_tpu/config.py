@@ -72,17 +72,18 @@ class KLTConfig:
     max_residual: float = 12.0     # mean |I_t - I_{t+1}| over patch to keep a track
     max_displacement: float = 60.0 # tracks moving further than this are dropped
     border: int = 12               # tracks within this many px of border are dropped
-    margin: int = 8                # per-level block wander margin (px) for KLT calls
+    margin: int = 6                # per-level block wander margin (px) for KLT calls
     #                                WITHOUT a motion prior (bootstrap hops start
     #                                from zero displacement; reach ≈ margin*(4+2+1)
     #                                px at 3 levels must cover raw frame-to-frame
-    #                                flow). 8 → 56 px reach: a re-bootstrap DURING
-    #                                a 2°/frame turn sees ~50 px edge flow, which
-    #                                margin 6 (42 px) could not reach — the r4
-    #                                turn replay lost a 50-frame stretch to
-    #                                repeated in-turn recovery attempts.
-    #                                Bootstrap-only cost (the tracker itself uses
-    #                                track_margin + the warm start).
+    #                                flow). Round-4 negative result: raising to 8
+    #                                (56 px reach, to help in-turn re-bootstraps
+    #                                against ~50 px edge flow) degraded the
+    #                                311-frame turn smoke at ALL three seeds
+    #                                (1.3/1.8/1.9 → 7.1/9.4/3.9 m ATE) and was
+    #                                neutral at full scale — the wider wander
+    #                                admits ambiguous-texture matches into the
+    #                                bootstrap map. 6 is the validated point.
     track_margin: int = 4          # wander margin for the in-pipeline tracker, where
     #                                the constant-velocity warm start (process_frame)
     #                                absorbs the bulk displacement — the margin only
