@@ -74,6 +74,9 @@ def main():
         "reproj15_seed1": dict(mode="sift-sift", ba=False, occ=True, reproj=1.5, seed=1),
         "reproj15_seed2": dict(mode="sift-sift", ba=False, occ=True, reproj=1.5, seed=2),
         "ba_reproj15": dict(mode="sift-sift", ba=True, occ=True, reproj=1.5),
+        "lmba": dict(mode="sift-sift", ba=True, lmonly=True, occ=True),
+        "lmba_seed1": dict(mode="sift-sift", ba=True, lmonly=True, occ=True, seed=1),
+        "lmba_seed2": dict(mode="sift-sift", ba=True, lmonly=True, occ=True, seed=2),
         "reproj10": dict(mode="sift-sift", ba=False, occ=True, reproj=1.0),
         "ratio20": dict(mode="sift-sift", ba=False, occ=True, ratio=20.0),
         "perframe": dict(mode="sift-sift", ba=False, occ=True, perframe=True),
@@ -88,7 +91,7 @@ def main():
         ov = {"image_width": W, "image_height": H,
               "find_new_candidates_method": v["mode"]}
         if v["ba"]:
-            ov["ba"] = {"enabled": True}
+            ov["ba"] = {"enabled": True, "landmarks_only": bool(v.get("lmonly"))}
         if "seed" in v:
             ov["seed"] = v["seed"]
         if "ratio" in v:

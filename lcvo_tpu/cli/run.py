@@ -25,6 +25,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frames", type=int, default=None, help="limit frame count")
     p.add_argument("--mode", default=None, help="find_new_candidates_method override")
     p.add_argument("--ba", action="store_true", help="enable sliding-window bundle adjustment")
+    p.add_argument("--ba-landmarks-only", action="store_true",
+                   help="window refinement with ALL keyframe poses frozen: multi-view "
+                        "structure correction without pose feedback (the turn-robust "
+                        "mode — BASELINE.md round 4)")
     p.add_argument("--chunked", action="store_true", help="throughput mode: scan frames in device-resident chunks")
     p.add_argument("--out", default="runs/latest", help="output directory")
     p.add_argument("--viz-every", type=int, default=0, help="dump a dashboard frame every N frames (0 = off)")
@@ -67,8 +71,8 @@ def main(argv=None) -> dict:
         overrides["data_root"] = args.data_root
     if args.mode:
         overrides["find_new_candidates_method"] = args.mode
-    if args.ba:
-        overrides["ba"] = {"enabled": True}
+    if args.ba or args.ba_landmarks_only:
+        overrides["ba"] = {"enabled": True, "landmarks_only": args.ba_landmarks_only}
     cfg = load_config(args.config, overrides)
 
     ds = load_dataset(cfg.dataset, cfg.data_root)

@@ -172,6 +172,11 @@ class BAConfig:
     BASELINE.json config 3: window=10 keyframes, Schur-complement Gauss-Newton)."""
 
     enabled: bool = False
+    landmarks_only: bool = False   # freeze ALL keyframe poses and refine only
+    #                                structure: multi-view depth correction with
+    #                                zero pose feedback / gauge motion — the
+    #                                round-4 probe of why full window BA trails
+    #                                no-BA through turns (see BASELINE.md r4)
     window: int = 10               # keyframes in the window
     #   (landmark capacity inside the window is state.max_tracks — the window
     #    refines the live track table in place, solve/ba/window.py)

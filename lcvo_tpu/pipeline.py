@@ -544,6 +544,7 @@ class VisualOdometry:
             n_fix=min(2, cfg.ba.window - 1),
             huber=cfg.ba.huber_px / float(self.K[0, 0]),
             lam0=cfg.ba.damping,
+            landmarks_only=cfg.ba.landmarks_only,
         )
         self.window = win
         self.state = st_._replace(tracks=tracks, R=R, t=t)
@@ -648,6 +649,7 @@ class VisualOdometry:
                     w2, tracks, R, t, _ = win_mod.refine_window(
                         w2, s2.tracks, Kj, iters=ba.gn_iters, n_fix=n_fix,
                         huber=huber_n, lam0=ba.damping,
+                        landmarks_only=ba.landmarks_only,
                     )
                     return s2._replace(tracks=tracks, R=R, t=t), w2
 

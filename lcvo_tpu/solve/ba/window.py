@@ -94,7 +94,7 @@ def gather_problem(win: KeyframeWindow, tracks: TrackTable, K_mat) -> tuple[BAPr
     return BAProblem(R=R, t=t, X=tracks.X, obs=obs_n, mask=m), order
 
 
-@partial(jax.jit, static_argnames=("iters", "n_fix"))
+@partial(jax.jit, static_argnames=("iters", "n_fix", "landmarks_only"))
 def refine_window(
     win: KeyframeWindow,
     tracks: TrackTable,
@@ -103,6 +103,7 @@ def refine_window(
     n_fix: int = 2,
     huber: float = 3e-3,
     lam0: float = 1e-4,
+    landmarks_only: bool = False,
 ):
     """Run window BA and write the results back.
 
@@ -119,7 +120,12 @@ def refine_window(
     # which injects scale drift every refine (ba_solve docstring). With ≤ n_fix
     # real keyframes this freezes them ALL: landmark-only refinement.
     kfv = win.kf_valid[order]
-    fix_rows = kfv & (jnp.cumsum(kfv) <= n_fix)
+    if landmarks_only:
+        # structure-only refinement: ALL real keyframe poses frozen — multi-view
+        # depth correction without pose feedback (no gauge motion possible)
+        fix_rows = jnp.ones_like(kfv)
+    else:
+        fix_rows = kfv & (jnp.cumsum(kfv) <= n_fix)
     res = ba_solve(problem, iters=iters, n_fix=n_fix, huber=huber, lam0=lam0,
                    fix_rows=fix_rows)
 
