@@ -52,18 +52,32 @@ _TURN_CACHE = os.path.join(_DIR, "benchmarks", ".turn_cache.npz")
 def _turn_frames(n_frames, W, H):
     """KITTI-res arena-loop frames with two sustained 90° turns (2°/frame) AND a
     moving occluder — the turn/occluder stress profile of the reference's KITTI
-    05 envelope (VERDICT r3 #6), cached on disk as uint8."""
+    05 envelope (VERDICT r3 #6), cached on disk as uint8. The cache records a
+    fingerprint of every render parameter; changing the trajectory or renderer
+    knobs invalidates it instead of silently mismatching the fresh ground truth
+    (ADVICE r4)."""
     from lcvo_tpu.data.render_jax import FastArenaRenderer
     from lcvo_tpu.data.synthetic import trajectory_loop
 
-    traj = trajectory_loop(n_frames, speed=0.35, straight_frames=100, turn_frames=45)
-    seq = FastArenaRenderer(traj, W, H, occluder=True)
+    params = dict(speed=0.35, straight_frames=100, turn_frames=45, occluder=1, seed=7)
+    fp = np.asarray([params[k] for k in sorted(params)], np.float64)
+    traj = trajectory_loop(n_frames, speed=params["speed"],
+                           straight_frames=params["straight_frames"],
+                           turn_frames=params["turn_frames"])
+    seq = FastArenaRenderer(traj, W, H, occluder=bool(params["occluder"]),
+                            seed=params["seed"])
     if os.path.exists(_TURN_CACHE):
         d = np.load(_TURN_CACHE)
-        if d["frames"].shape[0] >= n_frames and d["frames"].shape[1:] == (H, W):
+        if (
+            d["frames"].shape[0] >= n_frames
+            and d["frames"].shape[1:] == (H, W)
+            and "fingerprint" in d
+            and d["fingerprint"].shape == fp.shape
+            and np.array_equal(d["fingerprint"], fp)
+        ):
             return [f for f in d["frames"][:n_frames]], seq
     frames = np.stack([seq.frame(i) for i in range(n_frames)])
-    np.savez_compressed(_TURN_CACHE, frames=frames)
+    np.savez_compressed(_TURN_CACHE, frames=frames, fingerprint=fp)
     return [f for f in frames], seq
 
 
@@ -76,12 +90,18 @@ def _frames(n_frames, W, H, speed=0.35):
     from lcvo_tpu.data.render_jax import FastCorridorRenderer
 
     seq = FastCorridorRenderer(n_frames, W, H, speed=speed)
+    fp = np.asarray([speed], np.float64)
     if os.path.exists(_CACHE):
         d = np.load(_CACHE)
-        if d["frames"].shape[0] >= n_frames and d["frames"].shape[1:] == (H, W):
+        if (
+            d["frames"].shape[0] >= n_frames
+            and d["frames"].shape[1:] == (H, W)
+            and "fingerprint" in d
+            and np.array_equal(d["fingerprint"], fp)
+        ):
             return [f.astype(np.float32) for f in d["frames"][:n_frames]], seq
     frames = np.stack([seq.frame(i) for i in range(n_frames)])
-    np.savez_compressed(_CACHE, frames=frames)
+    np.savez_compressed(_CACHE, frames=frames, fingerprint=fp)
     return [f.astype(np.float32) for f in frames], seq
 
 

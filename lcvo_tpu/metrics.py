@@ -170,11 +170,16 @@ class MetricsLogger:
         (R, t, pose_ok, n_inliers) come back from the device per frame. Rows
         carry a MONOTONIC timestamp (NTP steps during a multi-hour replay must
         not skew rate computation) so steady-state frames/s can be computed
-        excluding the one-time compile (all frames of one chunk share it)."""
+        excluding the one-time compile (all frames of one chunk share it).
+
+        ``inliers < 0`` is the driver's "not measured" sentinel (held anchor
+        poses during recovery have no PnP solve) and is logged as null so inlier
+        analysis can't mistake synthesized rows for real zero-inlier frames."""
         import time
 
         row = {"frame": int(frame_idx), "pose_ok": bool(pose_ok),
-               "inliers": int(inliers), "t": round(time.monotonic(), 3)}
+               "inliers": int(inliers) if inliers >= 0 else None,
+               "t": round(time.monotonic(), 3)}
         self.rows.append(row)
         if self._fh:
             import json
@@ -192,13 +197,15 @@ class MetricsLogger:
             return {}
         import statistics
 
+        inl = [r["inliers"] for r in self.rows if r.get("inliers") is not None]
         out = {
             # per-frame metric rows (continuous-operation steps only — bootstrap
             # and held recovery poses have no metrics row); named distinctly so
             # it can't clobber the driver's trajectory-length "frames"
             "metric_rows": len(self.rows),
             "pose_ok_rate": sum(r["pose_ok"] for r in self.rows) / len(self.rows),
-            "mean_inliers": statistics.fmean(r["inliers"] for r in self.rows),
+            # excludes "not measured" (null) rows — held recovery anchors
+            "mean_inliers": statistics.fmean(inl) if inl else None,
         }
         # full rows only (chunked-scan rows are reduced to pose_ok/inliers)
         full = [r for r in self.rows if "tracked" in r]

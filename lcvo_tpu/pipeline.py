@@ -595,11 +595,15 @@ class VisualOdometry:
         (bootstrap-end pose, held anchor poses during a recovery burst). Chunked
         summaries therefore count every trajectory entry — a replay with N
         recoveries can no longer print the same pose_ok_rate as one with zero
-        (the reference's per-frame prints never skip a frame, ``src/main.py:214``)."""
+        (the reference's per-frame prints never skip a frame, ``src/main.py:214``).
+
+        ``ninl=None`` emits the -1 sentinel ("not measured" — held anchor poses
+        have no PnP solve) so analysis can't mistake synthesized rows for real
+        zero-inlier frames (ADVICE r4); callers with a real count pass it."""
         if on_chunk is not None:
             on_chunk(len(self.trajectory), np.asarray(Rs), np.asarray(ts),
                      np.asarray(oks, bool),
-                     np.zeros(len(oks), np.int32) if ninl is None else np.asarray(ninl))
+                     np.full(len(oks), -1, np.int32) if ninl is None else np.asarray(ninl))
         for R, t, ok in zip(Rs, ts, oks):
             self._append_pose(np.asarray(R), np.asarray(t), ok=bool(ok))
 
@@ -704,8 +708,9 @@ class VisualOdometry:
                 f"stream ended after {len(boot)} frame(s); the two-view bootstrap "
                 f"needs at least bootstrap.frame_gap + 1 = {gap + 1}"
             )
-        self.bootstrap(boot)
-        self._chunk_emit(on_chunk, [np.asarray(self.state.R)], [np.asarray(self.state.t)], [True])
+        n_boot_inl = self.bootstrap(boot)
+        self._chunk_emit(on_chunk, [np.asarray(self.state.R)], [np.asarray(self.state.t)],
+                         [True], ninl=[n_boot_inl])
         return self.run_chunked_continue(
             it, produced=gap + 1, chunk=chunk, n_frames=n_frames,
             checkpoint_every=checkpoint_every, checkpoint_path=checkpoint_path,
@@ -804,14 +809,15 @@ class VisualOdometry:
                 burst = take(skip + 1)
                 if len(burst) == skip + 1:
                     scale = speed * (len(burst) - 1) if speed else None
-                    self.bootstrap(burst, R0=R0, t0=t0, scale=scale)
-                    # held anchor poses for the burst frames + the fresh
-                    # bootstrap-end pose, each with a pose_ok=False/True row
+                    n_rb_inl = self.bootstrap(burst, R0=R0, t0=t0, scale=scale)
+                    # held anchor poses for the burst frames (-1 "not measured")
+                    # + the fresh bootstrap-end pose with its real inlier count
                     self._chunk_emit(
                         on_chunk,
                         [R0] * skip + [np.asarray(self.state.R)],
                         [t0] * skip + [np.asarray(self.state.t)],
                         [False] * skip + [True],
+                        ninl=[-1] * skip + [n_rb_inl],
                     )
                     produced += skip + 1
                 else:  # sequence ended inside the burst: hold the anchor

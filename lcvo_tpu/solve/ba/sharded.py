@@ -40,18 +40,24 @@ def ba_solve_sharded(
     n_fix: int = 2,
     huber: float = 3e-3,
     lam0: float = 1e-4,
+    fix_rows=None,
 ) -> BAResult:
     """LM window BA with the landmark dimension sharded over ``mesh[axis]``.
 
     ``problem.X`` (K, 3), ``problem.obs`` (W, K, 2) and ``problem.mask`` (W, K) are
     sharded on K (K must divide the axis size); poses are replicated.
+
+    ``fix_rows`` (W,) bool overrides the default leading-``n_fix`` gauge anchor —
+    behavioral parity with :func:`lcvo_tpu.solve.ba.schur.ba_solve`: callers with
+    partially-filled windows must freeze REAL keyframes, not empty leading slots
+    (see the ``ba_solve`` docstring; ADVICE r4).
     """
     R0, t0, X0, obs, mask = problem
     W = R0.shape[0]
     K = X0.shape[0]
     n_dev = mesh.shape[axis]
     assert K % n_dev == 0, f"landmark capacity {K} must divide mesh axis {n_dev}"
-    fix_mask = jnp.arange(W) < n_fix
+    fix_mask = (jnp.arange(W) < n_fix) if fix_rows is None else jnp.asarray(fix_rows)
 
     pose_spec = P()            # replicated
     lm_spec = P(axis)          # sharded on K (leading dim)
