@@ -343,6 +343,17 @@ def quality():
     gt_t = seq_t.gt_positions()[gap : gap + len(traj_t)]
     out["ate_turn_m"] = round(ate_rmse(np.asarray(traj_t), gt_t[: len(traj_t)]), 4)
     out["turn_rebootstraps"] = vo_t.n_rebootstraps
+    # per-segment scale band (VERDICT r4 #2): the scale-decay spiral drives
+    # per-50-frame scale far from 1.0 long before ATE explodes — gate the band
+    # so scale drift fails loudly while it is still small
+    from lcvo_tpu.metrics import segment_scale_stats
+
+    seg = segment_scale_stats(
+        np.asarray(traj_t), gt_t[: len(traj_t)],
+        pose_ok=vo_t.pose_ok_flags[: len(traj_t)],
+    )
+    out["seg_scale_min"] = seg.get("seg_scale_min")
+    out["seg_scale_max"] = seg.get("seg_scale_max")
 
     # --- golden deltas vs the CPU exact paths (subprocess forces cpu backend) ---
     img0, img1 = frames[10], frames[11]
@@ -383,6 +394,10 @@ def quality():
         # across seeds WITH the depth/baseline triangulation gate (without it,
         # seed-dependent scale collapse to 4.4-10 m — benchmarks/diag_turn.py)
         "ate_turn_m": ("<", 2.5),
+        # normalized per-50-frame scale band: healthy turn runs sit well inside
+        # [0.7, 1.4]; the collapse signature is 0.5 → 0.05 (VERDICT r4 #2)
+        "seg_scale_min": (">", 0.65),
+        "seg_scale_max": ("<", 1.55),
         "klt_p90_delta_px": ("<", 0.5),
         "sift_recall_2px": (">", 0.7),
     }

@@ -174,10 +174,22 @@ def main():
         "frames_per_s": round(summary.get("frames", 0) / wall_a, 2),
         "frames_per_s_steady": steady_fps(os.path.join(out_a, "metrics.jsonl")),
         "ate_rmse_m": summary.get("ate_rmse_m"),
-        "rpe_trans_rmse_m": summary.get("rpe_trans_rmse_m"),
+        # GPS-only GT (Malaga) carries no rotations: the CLI emits the
+        # position-based equivalents + explicit "n/a (GPS GT)" rotation fields
+        # instead of nulls (VERDICT r4 #4)
+        "rpe_trans_rmse_m": summary.get(
+            "rpe_trans_rmse_m",
+            f"position-based rpe_rmse_m={summary.get('rpe_rmse_m')} (GPS GT)"),
         "rpe_rot_rmse_deg": summary.get("rpe_rot_rmse_deg"),
-        "kitti_t_err_pct": summary.get("kitti_t_err_pct"),
+        "kitti_t_err_pct": summary.get(
+            "kitti_t_err_pct",
+            f"position-based kitti_t_err_pct_pos={summary.get('kitti_t_err_pct_pos')}"),
         "kitti_r_err_deg_per_m": summary.get("kitti_r_err_deg_per_m"),
+        # worst per-50-frame segment scale deviation (VERDICT r4 #2): the
+        # scale-decay spiral's signature, surfaced in every replay artifact
+        "seg_scale_min": summary.get("seg_scale_min"),
+        "seg_scale_max": summary.get("seg_scale_max"),
+        "seg_scale_worst_log2": summary.get("seg_scale_worst"),
         "pose_ok_rate": summary.get("pose_ok_rate"),
         "n_rebootstraps": summary.get("n_rebootstraps"),
         "peak_rss_mb": round(peak_a, 1),

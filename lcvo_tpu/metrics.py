@@ -61,6 +61,92 @@ def rpe_stats(est_positions: np.ndarray, gt_positions: np.ndarray, delta: int = 
     return float(np.sqrt(np.mean(err**2))), float(np.median(err))
 
 
+def segment_scale_stats(est_positions: np.ndarray, gt_positions: np.ndarray,
+                        seg: int = 50, pose_ok=None) -> dict:
+    """Per-segment metric-scale trace: the early-warning signal for the monocular
+    scale-decay spiral (BASELINE.md round 4: the turn-replay collapse signature is
+    per-segment scale 0.51 → 0.05 long before ATE explodes — VERDICT r4 #2).
+
+    For each consecutive ``seg``-frame window, the ratio of estimated to
+    ground-truth path length, normalized by the GLOBAL ratio (monocular scale is
+    free, so only drift of the per-segment scale around the global fit matters;
+    a scale-stable trajectory shows all segments ≈ 1.0). Position-only — works
+    with GPS ground truth (Malaga) as well as full poses.
+
+    ``pose_ok``: optional per-frame health flags; steps touching a held/weak pose
+    (zero displacement during recovery bursts) are excluded from both sums.
+
+    Returns {"seg_scales": [...], "seg_scale_min", "seg_scale_max",
+    "seg_scale_worst" (max |log2 s| deviation), "n_segments"} — empty dict when
+    the trajectory is too short (< 2 segments).
+    """
+    est = np.asarray(est_positions, np.float64)
+    gt = np.asarray(gt_positions, np.float64)
+    n = min(len(est), len(gt))
+    est, gt = est[:n], gt[:n]
+    d_est = np.linalg.norm(np.diff(est, axis=0), axis=1)
+    d_gt = np.linalg.norm(np.diff(gt, axis=0), axis=1)
+    good = d_gt > 1e-9
+    if pose_ok is not None:
+        f = np.asarray(pose_ok, bool)[:n]
+        good = good & f[:-1] & f[1:]
+    scales = []
+    for s0 in range(0, n - 1, seg):
+        m = good[s0 : s0 + seg]
+        ge, gg = d_est[s0 : s0 + seg][m].sum(), d_gt[s0 : s0 + seg][m].sum()
+        if m.sum() >= seg // 2 and gg > 1e-9:
+            scales.append(ge / gg)
+    if len(scales) < 2:
+        return {}
+    s_global = float(np.median(scales))
+    if s_global <= 1e-12:
+        return {}
+    rel = np.asarray(scales) / s_global
+    return {
+        "seg_scales": [round(float(x), 4) for x in rel],
+        "seg_scale_min": round(float(rel.min()), 4),
+        "seg_scale_max": round(float(rel.max()), 4),
+        "seg_scale_worst": round(float(np.max(np.abs(np.log2(rel)))), 4),
+        "n_segments": len(scales),
+    }
+
+
+def kitti_t_err_pct_pos(est_positions: np.ndarray, gt_positions: np.ndarray,
+                        lengths=(100, 200, 300, 400, 500, 600, 700, 800),
+                        step: int = 10):
+    """Position-only KITTI-style translation drift, for GPS ground truth with no
+    rotations (Malaga — reference ``src/main.py:31-47`` uses GPS columns as GT).
+
+    The standard metric (:func:`kitti_odometry_error`) re-anchors each segment by
+    its starting POSE; without GT rotations the segment is instead rigidly
+    Umeyama-aligned (rotation+translation; scale fixed by ONE global Sim(3) fit so
+    per-segment scale drift stays visible) and the drift is the endpoint error per
+    meter of segment length. This quantifies exactly the reference's qualitative
+    "locally consistent" criterion (statement §1.3.1) on positions alone.
+
+    Returns (t_err_pct, n_segments); (None, 0) when too short.
+    """
+    est = np.asarray(est_positions, np.float64)
+    gt = np.asarray(gt_positions, np.float64)
+    s, _, _ = umeyama_alignment(est, gt)
+    est = est * s  # global monocular scale only; per-segment alignment is rigid
+    d = np.linalg.norm(np.diff(gt, axis=0), axis=1)
+    dist = np.concatenate([[0.0], np.cumsum(d)])
+    errs = []
+    for first in range(0, len(est), step):
+        for L in lengths:
+            ends = np.searchsorted(dist, dist[first] + L)
+            if ends >= len(est):
+                break
+            seg_e, seg_g = est[first : ends + 1], gt[first : ends + 1]
+            _, R, t = umeyama_alignment(seg_e, seg_g, with_scale=False)
+            end_aligned = R @ seg_e[-1] + t
+            errs.append(np.linalg.norm(end_aligned - seg_g[-1]) / L)
+    if not errs:
+        return None, 0
+    return float(np.mean(errs) * 100.0), len(errs)
+
+
 def _rot_angle_deg(R: np.ndarray) -> np.ndarray:
     """Rotation angle(s) of (…, 3, 3) rotation matrices, degrees."""
     tr = np.trace(R, axis1=-2, axis2=-1)
@@ -186,6 +272,18 @@ class MetricsLogger:
 
             self._fh.write(json.dumps(row) + "\n")
         return row
+
+    def log_seg_scales(self, seg_scales: list) -> None:
+        """Append the per-segment metric-scale trace (one row per 50-frame
+        segment, normalized to the trajectory's median scale — see
+        :func:`segment_scale_stats`) to the JSONL stream. These are end-of-run
+        rows, not per-frame rows, so they are NOT appended to ``self.rows``
+        (summary statistics stay per-frame)."""
+        if self._fh:
+            import json
+
+            for i, s in enumerate(seg_scales):
+                self._fh.write(json.dumps({"seg": i, "seg_scale": s}) + "\n")
 
     def close(self):
         if self._fh:

@@ -120,3 +120,69 @@ def test_rpe_stats_trend():
     est = gt + np.array([0.05, 0.0, 0.0]) * np.arange(40)[:, None]  # linear drift
     rmse, med = rpe_stats(est, gt)
     assert 0 < med < 0.2 and rmse < 0.2
+
+
+def test_segment_scale_stats_uniform_scale_is_flat():
+    from lcvo_tpu.metrics import segment_scale_stats
+
+    gt = _straight(200)[:, :3, 3]
+    est = 3.0 * gt  # uniform monocular scale: every segment ratio identical
+    s = segment_scale_stats(est, gt, seg=50)
+    assert s["n_segments"] == 4
+    assert abs(s["seg_scale_min"] - 1.0) < 1e-6
+    assert abs(s["seg_scale_max"] - 1.0) < 1e-6
+    assert s["seg_scale_worst"] < 1e-6
+
+
+def test_segment_scale_stats_detects_decay():
+    from lcvo_tpu.metrics import segment_scale_stats
+
+    gt = _straight(200)[:, :3, 3]
+    # scale halves in the last quarter: the decay-spiral signature
+    step = np.ones(199)
+    step[150:] = 0.5
+    est = np.zeros_like(gt)
+    est[1:, 2] = np.cumsum(step)
+    s = segment_scale_stats(est, gt, seg=50)
+    assert s["n_segments"] == 4
+    # normalized by the median (healthy) scale: decayed segment reads ~0.5
+    assert s["seg_scale_min"] < 0.55
+    assert abs(s["seg_scale_max"] - 1.0) < 0.01
+    assert s["seg_scale_worst"] > 0.9  # |log2 0.5| = 1
+
+
+def test_segment_scale_stats_excludes_held_poses():
+    from lcvo_tpu.metrics import segment_scale_stats
+
+    gt = _straight(200)[:, :3, 3]
+    est = gt.copy()
+    # a recovery burst: frames 60-70 hold the anchor pose (zero displacement)
+    est[60:70] = est[60]
+    est[70:] -= est[70] - est[69] - np.array([0, 0, 1.0])
+    flags = np.ones(200, bool)
+    flags[60:70] = False
+    s = segment_scale_stats(est, gt, seg=50, pose_ok=flags)
+    # with the held steps excluded the remaining steps are exact
+    assert s["seg_scale_worst"] < 0.05
+
+
+def test_kitti_t_err_pct_pos_zero_on_scaled_exact():
+    from lcvo_tpu.metrics import kitti_t_err_pct_pos
+
+    gt = _straight(300, step=0.5)[:, :3, 3]
+    est = 2.0 * gt  # pure monocular scale: position-only drift must be ~0
+    pct, n = kitti_t_err_pct_pos(est, gt, lengths=(50, 100), step=20)
+    assert n > 0
+    assert pct < 0.01
+
+
+def test_kitti_t_err_pct_pos_sees_scale_drift():
+    from lcvo_tpu.metrics import kitti_t_err_pct_pos
+
+    gt = _straight(300, step=0.5)[:, :3, 3]
+    step = 0.5 * np.ones(299)
+    step[200:] *= 0.6  # 40% scale loss over the tail
+    est = np.zeros_like(gt)
+    est[1:, 2] = np.cumsum(step)
+    pct, n = kitti_t_err_pct_pos(est, gt, lengths=(50, 100), step=20)
+    assert pct > 2.0  # large drift must register
