@@ -84,6 +84,16 @@ def main():
         "ba": dict(mode="sift-sift", ba=True, occ=True),
         "ba_noocc": dict(mode="sift-sift", ba=True, occ=False),
         "shi": dict(mode="shi-mask", ba=False, occ=True),
+        # round-5: continuous anchor re-triangulation (triangulation.track_refine)
+        "tr": dict(mode="sift-sift", ba=False, occ=True, tr=True),
+        "tr_seed1": dict(mode="sift-sift", ba=False, occ=True, tr=True, seed=1),
+        "tr_seed2": dict(mode="sift-sift", ba=False, occ=True, tr=True, seed=2),
+        "tr_lmba": dict(mode="sift-sift", ba=True, lmonly=True, occ=True, tr=True),
+        "tr_lmba_seed1": dict(mode="sift-sift", ba=True, lmonly=True, occ=True, tr=True, seed=1),
+        "tr_lmba_seed2": dict(mode="sift-sift", ba=True, lmonly=True, occ=True, tr=True, seed=2),
+        "tr_ba": dict(mode="sift-sift", ba=True, occ=True, tr=True),
+        "tr_ba_seed1": dict(mode="sift-sift", ba=True, occ=True, tr=True, seed=1),
+        "tr_ba_seed2": dict(mode="sift-sift", ba=True, occ=True, tr=True, seed=2),
     }
     for name in args.variants:
         v = VAR[name]
@@ -100,6 +110,8 @@ def main():
             ov.setdefault("triangulation", {})["alpha_deg"] = v["alpha"]
         if "reproj" in v:
             ov.setdefault("triangulation", {})["max_reproj_px"] = v["reproj"]
+        if v.get("tr"):
+            ov.setdefault("triangulation", {})["track_refine"] = True
         cfg = load_config(overrides=ov)
         vo = VisualOdometry(cfg, seq.K)
         if v.get("perframe"):

@@ -155,6 +155,22 @@ class TriangulationConfig:
     #                                through 90° corners without this gate).
     #                                30 ≈ a 1.9° effective parallax floor; 0
     #                                disables.
+    track_refine: bool = False     # continuous anchor re-triangulation: each
+    #                                landmark keeps its first observation (pixel
+    #                                + frozen promotion-time pose) and is
+    #                                re-triangulated inside the compiled step
+    #                                whenever its parallax to that anchor has
+    #                                grown by refine_min_improve — a landmark
+    #                                promoted at the α-gate's minimum parallax
+    #                                improves as the baseline grows instead of
+    #                                freezing its noisiest depth estimate (the
+    #                                round-5 attack on the turn scale-decay
+    #                                spiral, VERDICT r4 #1)
+    refine_min_improve: float = 1.3  # re-triangulate when the current parallax
+    #                                exceeds the last triangulation's by this
+    #                                factor (growth-staggered: tracks refine on
+    #                                different frames, so map error never
+    #                                correlates with a single frame's pose noise)
 
 
 @dataclass(frozen=True)

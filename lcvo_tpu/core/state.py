@@ -25,7 +25,17 @@ import jax.numpy as jnp
 
 
 class TrackTable(NamedTuple):
-    """Active landmark tracks (the reference's ``state['P'], state['X']``)."""
+    """Active landmark tracks (the reference's ``state['P'], state['X']``).
+
+    The anchor fields (``F``, ``R_f``, ``t_f``, ``ang``) carry each landmark's
+    FIRST observation (pixel + frozen pose + the parallax angle at the last
+    (re-)triangulation) from its candidate life into the track table. They power
+    continuous anchor re-triangulation (``pipeline.process_frame`` step 2.5): a
+    landmark promoted at the α-gate's minimum parallax keeps improving as the
+    baseline to its anchor grows, instead of freezing its noisiest-possible
+    depth estimate forever — the round-5 cure for the turn-replay scale-decay
+    spiral (BASELINE.md round 4). ``None`` anchors (tests / BA-only tables)
+    disable refinement for those tracks."""
 
     P: jnp.ndarray      # (K, 2) float32 — pixel positions in the current frame
     X: jnp.ndarray      # (K, 3) float32 — world-frame landmarks
@@ -33,6 +43,10 @@ class TrackTable(NamedTuple):
     gen: jnp.ndarray    # (K,)  int32 — slot generation; bumped on insert so consumers
     #                     holding references across frames (the BA window) can detect
     #                     slot reuse for a different landmark
+    F: jnp.ndarray | None = None     # (K, 2) anchor (first-observation) pixels
+    R_f: jnp.ndarray | None = None   # (K, 3, 3) anchor world→camera rotation
+    t_f: jnp.ndarray | None = None   # (K, 3)
+    ang: jnp.ndarray | None = None   # (K,) parallax angle (rad) at last triangulation
 
     @property
     def capacity(self) -> int:
@@ -92,6 +106,12 @@ def make_track_table(capacity: int) -> TrackTable:
         X=jnp.zeros((capacity, 3), jnp.float32),
         valid=jnp.zeros((capacity,), bool),
         gen=jnp.zeros((capacity,), jnp.int32),
+        F=jnp.zeros((capacity, 2), jnp.float32),
+        R_f=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (capacity, 3, 3)),
+        t_f=jnp.zeros((capacity, 3), jnp.float32),
+        # π: anchor refinement triggers on parallax GROWTH, so unseeded slots
+        # (already at the max possible angle) can never re-triangulate
+        ang=jnp.full((capacity,), jnp.pi, jnp.float32),
     )
 
 
@@ -119,12 +139,20 @@ def free_slots(valid: jnp.ndarray, n: int) -> jnp.ndarray:
     return order[:n]
 
 
-def insert_into_tracks(table: TrackTable, P_new, X_new, new_valid) -> TrackTable:
+def insert_into_tracks(table: TrackTable, P_new, X_new, new_valid,
+                       F_new=None, R_f_new=None, t_f_new=None, ang_new=None) -> TrackTable:
     """Insert up to N new landmarks into free slots of the track table.
 
     P_new (N,2), X_new (N,3), new_valid (N,) — only entries with new_valid=True and a
     genuinely-free destination slot are written. Overflow (more new items than free
     slots) silently drops the excess — matching the bounded-capacity design.
+
+    Anchor fields (see :class:`TrackTable`): ``F_new`` (N,2), ``R_f_new``
+    ((N,3,3) or a shared (3,3)), ``t_f_new`` ((N,3) or (3,)), ``ang_new`` (N,) or
+    scalar. Callers without anchor data (tests) may omit them — inserted tracks
+    then anchor at their own position with ``ang=π``, which disables anchor
+    re-triangulation for them. Ignored entirely when the table has no anchor
+    fields (``table.F is None``).
     """
     # order new items valid-first so ranks are contiguous and invalid entries never
     # consume free slots
@@ -144,7 +172,32 @@ def insert_into_tracks(table: TrackTable, P_new, X_new, new_valid) -> TrackTable
     gen = table.gen.at[slots].set(
         jnp.where(ok, table.gen[slots] + 1, table.gen[slots])
     )
-    return TrackTable(P=P, X=X, valid=valid, gen=gen)
+    out = TrackTable(P=P, X=X, valid=valid, gen=gen,
+                     F=table.F, R_f=table.R_f, t_f=table.t_f, ang=table.ang)
+    if table.F is None:
+        return out
+    nn = P_new.shape[0]
+    if F_new is None:
+        F_new = P_new
+        R_f_new = jnp.eye(3, dtype=jnp.float32)
+        t_f_new = jnp.zeros((3,), jnp.float32)
+        ang_new = jnp.pi
+    else:
+        F_new = F_new[order][:n]
+        if R_f_new.ndim == 3:
+            R_f_new, t_f_new = R_f_new[order][:n], t_f_new[order][:n]
+        if jnp.ndim(ang_new) >= 1:
+            ang_new = ang_new[order][:n]
+    F_b = jnp.broadcast_to(F_new, (nn, 2))
+    R_b = jnp.broadcast_to(R_f_new, (nn, 3, 3))
+    t_b = jnp.broadcast_to(t_f_new, (nn, 3))
+    a_b = jnp.broadcast_to(jnp.asarray(ang_new, jnp.float32), (nn,))
+    return out._replace(
+        F=table.F.at[slots].set(jnp.where(ok[:, None], F_b, table.F[slots])),
+        R_f=table.R_f.at[slots].set(jnp.where(ok[:, None, None], R_b, table.R_f[slots])),
+        t_f=table.t_f.at[slots].set(jnp.where(ok[:, None], t_b, table.t_f[slots])),
+        ang=table.ang.at[slots].set(jnp.where(ok, a_b, table.ang[slots])),
+    )
 
 
 def insert_into_candidates(

@@ -120,11 +120,9 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
             init_d=init_d,
         )
         P_new, C_new = new_pts[:n_tracks], new_pts[n_tracks:]
-        tracks = st.TrackTable(
+        tracks = state.tracks._replace(
             P=P_new,
-            X=state.tracks.X,
             valid=state.tracks.valid & klt_ok[:n_tracks],
-            gen=state.tracks.gen,
         )
         cands = state.cands._replace(
             C=C_new,
@@ -155,6 +153,45 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
         err_n = jnp.where(tracks.valid & jnp.isfinite(err_n), err_n, 0.0)
         rms = jnp.sqrt(jnp.sum(err_n) / jnp.maximum(tracks.count(), 1)) * fx
 
+        # ------ 2.5 continuous anchor re-triangulation of young landmarks ------
+        # Each track carries its first observation (pixel + frozen promotion-time
+        # pose). Whenever the parallax to that anchor has grown by
+        # refine_min_improve since the last triangulation, re-triangulate the
+        # landmark against the anchor at the LARGER baseline: depth noise is
+        # inverse to parallax, so a landmark promoted at the α-gate's floor
+        # (its noisiest possible estimate, with a systematic near-bias that
+        # seeds the turn scale-decay spiral — BASELINE.md round 4) keeps
+        # improving as the camera moves, with scale anchored by the frozen
+        # promotion-time pose. The growth trigger staggers refinement across
+        # frames, so map error never correlates with one frame's pose noise.
+        tri = cfg.triangulation
+        if tri.track_refine:
+            ang_now = geo.bearing_angle(
+                tracks.R_f, tracks.t_f, R, t, tracks.F, tracks.P, Kj
+            )
+            x_a = _normalize(tracks.F, Kj)
+            x_p = _normalize(tracks.P, Kj)
+            X_ref = geo.triangulate_linear(tracks.R_f, tracks.t_f, R, t, x_a, x_p)
+            z_ref = geo.se3_apply(R, t, X_ref)[:, 2]
+            z_anc = geo.se3_apply(tracks.R_f, tracks.t_f, X_ref)[:, 2]
+            uv_ref, _ = geo.project(Kj, R, t, X_ref)
+            uv_anc, _ = geo.project(Kj, tracks.R_f, tracks.t_f, X_ref)
+            re_ref = jnp.sum((uv_ref - tracks.P) ** 2, axis=-1)
+            re_anc = jnp.sum((uv_anc - tracks.F) ** 2, axis=-1)
+            ref_ok = (
+                tracks.valid
+                & (ang_now > tracks.ang * tri.refine_min_improve)
+                & (z_ref > tri.min_depth)
+                & (z_ref < tri.max_depth)
+                & (z_anc > tri.min_depth)
+                & (re_ref < tri.max_reproj_px**2)
+                & (re_anc < tri.max_reproj_px**2)
+            )
+            tracks = tracks._replace(
+                X=jnp.where(ref_ok[:, None], X_ref, tracks.X),
+                ang=jnp.where(ref_ok, ang_now, tracks.ang),
+            )
+
         # ------ 3. candidate validation + batched triangulation + promotion ------
         # (reference src/vo_pipeline.py:607-673, per-candidate Python loops → batched)
         ang = geo.bearing_angle(cands.R_f, cands.t_f, R, t, cands.F, cands.C, Kj)
@@ -168,7 +205,6 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
         # reprojection gates in both views (px)
         uv_c, _ = geo.project(Kj, R, t, X_tri)
         re_c = jnp.sum((uv_c - cands.C) ** 2, axis=-1)
-        tri = cfg.triangulation
         geom_ok = (
             (z_cur > tri.min_depth)
             & (z_cur < tri.max_depth)
@@ -184,7 +220,12 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
             baseline = jnp.linalg.norm(c_first - c_cur[None, :], axis=-1)
             geom_ok = geom_ok & (z_cur < tri.max_depth_baseline_ratio * baseline)
         promote = cands.valid & (ang > alpha_rad) & geom_ok
-        tracks = st.insert_into_tracks(tracks, cands.C, X_tri, promote)
+        # promoted tracks carry their candidate anchor (first obs + frozen pose
+        # + promotion-time parallax) into the table for anchor re-triangulation
+        tracks = st.insert_into_tracks(
+            tracks, cands.C, X_tri, promote,
+            F_new=cands.F, R_f_new=cands.R_f, t_f_new=cands.t_f, ang_new=ang,
+        )
         n_promoted = jnp.sum(promote)
         # remove promoted and stale candidates
         cands = st.prune_candidates(cands, ~promote & (cands.age < max_cand_age))
@@ -477,7 +518,16 @@ class VisualOdometry:
         if self.window is not None:
             # stale keyframes must not constrain the re-initialized map
             self.window = self._win_mod.make_window(cfg.ba.window, cfg.state.max_tracks)
-        tracks = st.insert_into_tracks(state.tracks, pts, X_w, good)
+        # bootstrap landmarks anchor at the FIRST bootstrap frame (world pose
+        # (R0, t0)) with their two-view parallax — anchor re-triangulation then
+        # continues improving them as the trajectory extends the baseline
+        boot_ang = geo.bearing_angle(
+            R0j, t0j, R_last, t_last, pts0, pts, jnp.asarray(self.K, jnp.float32)
+        )
+        tracks = st.insert_into_tracks(
+            state.tracks, pts, X_w, good,
+            F_new=pts0, R_f_new=R0j, t_f_new=t0j, ang_new=boot_ang,
+        )
         # seed the constant-velocity model with the bootstrap window's mean
         # per-frame translation (rotation step ≈ identity over one frame): the
         # first post-bootstrap KLT warm start then predicts real forward flow
