@@ -322,8 +322,11 @@ def quality():
 
     out = {"metric": "tpu_quality_smoke", "backend": backend, "frames": n}
 
-    # --- e2e ATE through the chunked scan (exercises approx_max_k + Pallas) ---
-    for mode in ("sift-sift", "shi-mask"):
+    # --- e2e ATE through the chunked scan (exercises approx_max_k + Pallas).
+    # reference-preset (configs/reference.yaml: 5-point + SIFT init + 21x21/10
+    # KLT) is the PARITY configuration — the one whose trajectory answers "does
+    # it match the reference?" — so it gets its own on-chip bound (VERDICT r4 #5)
+    for mode in ("sift-sift", "shi-mask", "reference-preset"):
         vo = VisualOdometry(_cfg_for(mode, W, H), K)
         # 7 bootstrap + 6 full chunks: no ragged tail (a tail would compile the
         # per-frame step a second time just for a few frames)
@@ -390,6 +393,7 @@ def quality():
     bounds = {
         "ate_sift_sift_m": ("<", 0.5),
         "ate_shi_mask_m": ("<", 0.5),
+        "ate_reference_preset_m": ("<", 0.5),
         # ~108 m path with two 90° corners + occluder; measured 1.28-1.88 m
         # across seeds WITH the depth/baseline triangulation gate (without it,
         # seed-dependent scale collapse to 4.4-10 m — benchmarks/diag_turn.py)

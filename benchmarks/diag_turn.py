@@ -94,6 +94,13 @@ def main():
         "tr_ba": dict(mode="sift-sift", ba=True, occ=True, tr=True),
         "tr_ba_seed1": dict(mode="sift-sift", ba=True, occ=True, tr=True, seed=1),
         "tr_ba_seed2": dict(mode="sift-sift", ba=True, occ=True, tr=True, seed=2),
+        # round-5: newest-anchored gauge (backward smoothing — live pose frozen)
+        "ba_new": dict(mode="sift-sift", ba=True, occ=True, gauge="newest"),
+        "ba_new_seed1": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", seed=1),
+        "ba_new_seed2": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", seed=2),
+        "tr_ba_new": dict(mode="sift-sift", ba=True, occ=True, tr=True, gauge="newest"),
+        "tr_ba_new_seed1": dict(mode="sift-sift", ba=True, occ=True, tr=True, gauge="newest", seed=1),
+        "tr_ba_new_seed2": dict(mode="sift-sift", ba=True, occ=True, tr=True, gauge="newest", seed=2),
     }
     for name in args.variants:
         v = VAR[name]
@@ -101,7 +108,8 @@ def main():
         ov = {"image_width": W, "image_height": H,
               "find_new_candidates_method": v["mode"]}
         if v["ba"]:
-            ov["ba"] = {"enabled": True, "landmarks_only": bool(v.get("lmonly"))}
+            ov["ba"] = {"enabled": True, "landmarks_only": bool(v.get("lmonly")),
+                        "gauge": v.get("gauge", "oldest")}
         if "seed" in v:
             ov["seed"] = v["seed"]
         if "ratio" in v:

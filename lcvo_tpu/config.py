@@ -89,6 +89,20 @@ class KLTConfig:
     #                                absorbs the bulk displacement — the margin only
     #                                covers prediction error, so the extracted block
     #                                (dominant KLT HBM stream) shrinks
+    track_levels: int = 0          # pyramid levels used by the IN-PIPELINE tracker
+    #                                (0 = all `levels`). With the constant-velocity
+    #                                warm start the coarse levels only correct the
+    #                                small prediction error — dropping them removes
+    #                                whole per-level iteration loops from the
+    #                                latency-chained hot path (VERDICT r4 #3).
+    #                                Bootstrap hops (zero-start) always use all
+    #                                `levels` for full displacement reach.
+    iters_coarse: int = 0          # LK iterations at levels > 0 (0 = same as
+    #                                `iters`). A coarse level only needs to land
+    #                                the displacement within the next level's
+    #                                wander margin, not converge — fewer coarse
+    #                                iterations cut the latency-bound per-level
+    #                                loops (the r4 trace: 3 x 1.09 ms at 70 GB/s)
     iter_dtype: str = "float32"    # storage dtype of the LK iteration loop's
     #                                re-read tensors (blocks/template/gradients).
     #                                'bfloat16' halves the tracker's dominant HBM
@@ -193,6 +207,18 @@ class BAConfig:
     #                                zero pose feedback / gauge motion — the
     #                                round-4 probe of why full window BA trails
     #                                no-BA through turns (see BASELINE.md r4)
+    gauge: str = "oldest"          # which real keyframes anchor the window's
+    #                                7-DoF gauge (incl. monocular scale):
+    #                                'oldest' — classic sliding-window anchor;
+    #                                through scale-drifting turns it drags the
+    #                                NEWEST pose toward the window's old scale,
+    #                                and the live-pose write-back then fights
+    #                                PnP (the round-4 net-negative, VERDICT r4
+    #                                weak #1). 'newest' — freeze the newest
+    #                                n_fix keyframes instead: the live pose
+    #                                never jumps; BA smooths the PAST and makes
+    #                                structure consistent with the current
+    #                                pose (backward smoothing).
     window: int = 10               # keyframes in the window
     #   (landmark capacity inside the window is state.max_tracks — the window
     #    refines the live track table in place, solve/ba/window.py)

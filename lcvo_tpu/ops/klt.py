@@ -203,7 +203,8 @@ def _track_level(prev_img, next_img, pts_l, d, window, iters, eps,
     return d, det_ok, sat, residual
 
 
-@partial(jax.jit, static_argnames=("window", "iters", "iter_dtype", "margin"))
+@partial(jax.jit, static_argnames=("window", "iters", "iter_dtype", "margin",
+                                   "iters_coarse"))
 def pyramidal_klt(
     prev_pyramid: tuple,
     next_pyramid: tuple,
@@ -217,6 +218,7 @@ def pyramidal_klt(
     iter_dtype: str = "float32",
     margin: int = _MARGIN,
     init_d: jnp.ndarray | None = None,
+    iters_coarse: int = 0,
 ):
     """Track ``pts`` (N, 2) [x, y] from the previous frame into the next.
 
@@ -231,6 +233,10 @@ def pyramidal_klt(
     ``max_residual``, displacement below ``max_displacement`` and the new position
     inside the image border — the masked replacement for OpenCV's status vector
     (reference drops lost tracks at ``src/vo_pipeline.py:217-225``).
+
+    ``iters_coarse`` (0 = ``iters``): iteration count for levels > 0. A coarse
+    level's only job is to land the displacement within the next level's wander
+    margin; fewer coarse iterations shorten the latency-chained per-level loops.
     """
     levels = len(prev_pyramid)
     N = pts.shape[0]
@@ -246,7 +252,8 @@ def pyramidal_klt(
         scale = jnp.asarray(2.0**-l, pts.dtype)
         pts_l = pts * scale
         d, det_ok, sat, residual = _track_level(
-            prev_pyramid[l], next_pyramid[l], pts_l, d, window, iters, eps,
+            prev_pyramid[l], next_pyramid[l], pts_l, d, window,
+            iters if (l == 0 or not iters_coarse) else iters_coarse, eps,
             iter_dtype=idt, margin=margin,
         )
         ok = ok & det_ok

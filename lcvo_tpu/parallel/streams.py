@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lcvo_tpu.core import state as st
-from lcvo_tpu.pipeline import make_process_frame
+from lcvo_tpu.pipeline import make_chunk_fn, make_process_frame
 
 
 def make_batched_state(cfg, image_shape, n_streams: int) -> st.VOState:
@@ -24,6 +24,50 @@ def make_batched_state(cfg, image_shape, n_streams: int) -> st.VOState:
     s0 = st.make_vo_state(cfg, image_shape)
     return jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (n_streams,) + x.shape), s0
+    )
+
+
+def make_batched_carry(cfg, image_shape, n_streams: int):
+    """Stream-batched scan carry for the CHUNKED path: the VO state, plus a
+    batched BA keyframe window when BA is enabled (mirrors
+    :meth:`lcvo_tpu.pipeline.VisualOdometry.chunk_carry`)."""
+    states = make_batched_state(cfg, image_shape, n_streams)
+    if not cfg.ba.enabled:
+        return states
+    from lcvo_tpu.solve.ba import window as win_mod
+
+    w0 = win_mod.make_window(cfg.ba.window, cfg.state.max_tracks)
+    wins = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_streams,) + x.shape), w0
+    )
+    return states, wins
+
+
+def make_multistream_chunk_step(cfg, K, mesh: Mesh | None = None, axis: str = "data"):
+    """Stream-DP over the PRODUCTION chunked-scan path (VERDICT r4 #6).
+
+    The exact program every full-scale replay runs — ``lax.scan`` of
+    ``process_frame`` including the BA keyframe ``lax.cond`` when enabled
+    (:func:`lcvo_tpu.pipeline.make_chunk_fn`) — vmapped over a leading stream
+    dim and sharded over ``axis`` of ``mesh``. Per-stream results are
+    bit-identical to the unsharded single-stream scan (asserted by
+    ``tests/test_streams.py``): streams are independent, so sharding only
+    partitions them.
+
+    Returns ``chunk_step(carry, frames (S,chunk,H,W), keys (S,chunk,2)) ->
+    (carry', (R, t, pose_ok, n_inliers))`` with per-stream leading dims.
+    """
+    cf = make_chunk_fn(cfg, K)
+    batched = jax.vmap(cf)
+    donate = (0,) if cfg.runtime.donate_state else ()
+    if mesh is None:
+        return jax.jit(batched, donate_argnums=donate)
+    sh = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        batched,
+        in_shardings=(sh, sh, sh),
+        out_shardings=(sh, sh),
+        donate_argnums=donate,
     )
 
 

@@ -105,9 +105,13 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
         init_d = jnp.clip(jnp.nan_to_num(init_d), -kltc.max_displacement, kltc.max_displacement)
 
         pts = jnp.concatenate([state.tracks.P, state.cands.C], axis=0)
+        # the warm start absorbs bulk flow, so the in-pipeline tracker can run
+        # on fewer (finer) levels / fewer coarse iterations than the zero-start
+        # bootstrap hops (klt.track_levels / klt.iters_coarse)
+        n_lvl = kltc.track_levels or kltc.levels
         new_pts, klt_ok, _ = pyramidal_klt(
-            state.prev_pyramid,
-            pyr_new,
+            state.prev_pyramid[:n_lvl],
+            pyr_new[:n_lvl],
             pts,
             window=kltc.window,
             iters=kltc.iters,
@@ -118,6 +122,7 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
             iter_dtype=kltc.iter_dtype,
             margin=kltc.track_margin,
             init_d=init_d,
+            iters_coarse=kltc.iters_coarse,
         )
         P_new, C_new = new_pts[:n_tracks], new_pts[n_tracks:]
         tracks = state.tracks._replace(
@@ -408,6 +413,75 @@ def make_bootstrap_fns(cfg: VOConfig, K: np.ndarray):
 
 
 # ---------------------------------------------------------------------------
+# Chunked (scan) step — the production streaming path
+# ---------------------------------------------------------------------------
+
+
+def make_chunk_fn(cfg: VOConfig, K: np.ndarray):
+    """UNJITTED chunked-scan step for one VO stream: ``lax.scan`` of
+    ``process_frame`` over a chunk of frames, including the keyframe push +
+    Schur-complement window refine under ``lax.cond`` when BA is enabled.
+
+    This is the code path every full-scale replay runs. Module-level (rather
+    than a driver method) so the stream-DP layer can ``vmap`` + shard the SAME
+    program over a device mesh (VERDICT r4 #6 — the multichip dry-run must
+    exercise the production chunked path, not just the per-frame step).
+
+    Signature: ``chunk_fn(carry, frames (chunk,H,W), keys (chunk,2)) ->
+    (carry', (R, t, pose_ok, n_inliers))`` with ``carry = state`` (no BA) or
+    ``(state, window)`` (BA).
+    """
+    Kj = jnp.asarray(K, jnp.float32)
+    fn = make_process_frame(cfg, Kj)
+
+    if not cfg.ba.enabled:
+        def chunk_fn(state, frames, keys):
+            def body(s, xk):
+                img, k = xk
+                s2, res = fn(s, img, k)
+                return s2, (res.R, res.t, res.pose_ok, res.n_inliers)
+
+            return jax.lax.scan(body, state, (frames, keys))
+
+        return chunk_fn
+
+    # BA-enabled streaming: the keyframe push + Schur-complement window refine
+    # run INSIDE the scanned step under lax.cond — the whole pipeline including
+    # BA is one compiled XLA program (BASELINE config 3 in throughput mode).
+    # Cadence and pre-refine pose recording match the per-frame path (step()).
+    from lcvo_tpu.solve.ba import window as win_mod
+
+    ba = cfg.ba
+    fx = float(K[0][0] if isinstance(K, (list, tuple)) else K[0, 0])
+    huber_n = ba.huber_px / fx
+    n_fix = min(2, ba.window - 1)
+
+    def chunk_fn_ba(carry, frames, keys):
+        def body(c, xk):
+            s, w = c
+            img, k = xk
+            s2, res = fn(s, img, k)
+
+            def do_ba(sw):
+                s2, w = sw
+                w2 = win_mod.push(w, s2.tracks, s2.R, s2.t)
+                w2, tracks, R, t, _ = win_mod.refine_window(
+                    w2, s2.tracks, Kj, iters=ba.gn_iters, n_fix=n_fix,
+                    huber=huber_n, lam0=ba.damping,
+                    landmarks_only=ba.landmarks_only, gauge=ba.gauge,
+                )
+                return s2._replace(tracks=tracks, R=R, t=t), w2
+
+            is_kf = (s2.frame_idx % ba.keyframe_every) == 0
+            c2 = jax.lax.cond(is_kf, do_ba, lambda sw: sw, (s2, w))
+            return c2, (res.R, res.t, res.pose_ok, res.n_inliers)
+
+        return jax.lax.scan(body, carry, (frames, keys))
+
+    return chunk_fn_ba
+
+
+# ---------------------------------------------------------------------------
 # Host driver
 # ---------------------------------------------------------------------------
 
@@ -595,6 +669,7 @@ class VisualOdometry:
             huber=cfg.ba.huber_px / float(self.K[0, 0]),
             lam0=cfg.ba.damping,
             landmarks_only=cfg.ba.landmarks_only,
+            gauge=cfg.ba.gauge,
         )
         self.window = win
         self.state = st_._replace(tracks=tracks, R=R, t=t)
@@ -664,56 +739,10 @@ class VisualOdometry:
         The streaming/throughput path: one device dispatch per ``chunk`` frames
         (the Markovian loop compiles once and streams — SURVEY §7 design stance).
         Returns ``chunk_fn(state, frames (chunk,H,W), keys (chunk,2)) ->
-        (state', (R (chunk,3,3), t (chunk,3), pose_ok, n_inliers))``.
+        (state', (R (chunk,3,3), t (chunk,3), pose_ok, n_inliers))``; with BA
+        enabled the carry is ``(state, window)`` (see :meth:`chunk_carry`).
         """
-        fn = make_process_frame(self.cfg, jnp.asarray(self.K, jnp.float32))
-
-        if self.window is None:
-            @jax.jit
-            def chunk_fn(state, frames, keys):
-                def body(s, xk):
-                    img, k = xk
-                    s2, res = fn(s, img, k)
-                    return s2, (res.R, res.t, res.pose_ok, res.n_inliers)
-
-                return jax.lax.scan(body, state, (frames, keys))
-
-            return chunk_fn
-
-        # BA-enabled streaming: the keyframe push + Schur-complement window refine
-        # run INSIDE the scanned step under lax.cond — the whole pipeline including
-        # BA is one compiled XLA program (BASELINE config 3 in throughput mode).
-        # Cadence and pre-refine pose recording match the per-frame path (step()).
-        win_mod = self._win_mod
-        Kj = jnp.asarray(self.K, jnp.float32)
-        ba = self.cfg.ba
-        huber_n = ba.huber_px / float(self.K[0, 0])
-        n_fix = min(2, ba.window - 1)
-
-        @jax.jit
-        def chunk_fn_ba(carry, frames, keys):
-            def body(c, xk):
-                s, w = c
-                img, k = xk
-                s2, res = fn(s, img, k)
-
-                def do_ba(sw):
-                    s2, w = sw
-                    w2 = win_mod.push(w, s2.tracks, s2.R, s2.t)
-                    w2, tracks, R, t, _ = win_mod.refine_window(
-                        w2, s2.tracks, Kj, iters=ba.gn_iters, n_fix=n_fix,
-                        huber=huber_n, lam0=ba.damping,
-                        landmarks_only=ba.landmarks_only,
-                    )
-                    return s2._replace(tracks=tracks, R=R, t=t), w2
-
-                is_kf = (s2.frame_idx % ba.keyframe_every) == 0
-                c2 = jax.lax.cond(is_kf, do_ba, lambda sw: sw, (s2, w))
-                return c2, (res.R, res.t, res.pose_ok, res.n_inliers)
-
-            return jax.lax.scan(body, carry, (frames, keys))
-
-        return chunk_fn_ba
+        return jax.jit(make_chunk_fn(self.cfg, self.K))
 
     def chunk_carry(self):
         """Scan carry for :meth:`make_chunk_step`: the VO state, plus the BA window

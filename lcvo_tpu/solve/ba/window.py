@@ -94,7 +94,7 @@ def gather_problem(win: KeyframeWindow, tracks: TrackTable, K_mat) -> tuple[BAPr
     return BAProblem(R=R, t=t, X=tracks.X, obs=obs_n, mask=m), order
 
 
-@partial(jax.jit, static_argnames=("iters", "n_fix", "landmarks_only"))
+@partial(jax.jit, static_argnames=("iters", "n_fix", "landmarks_only", "gauge"))
 def refine_window(
     win: KeyframeWindow,
     tracks: TrackTable,
@@ -104,6 +104,7 @@ def refine_window(
     huber: float = 3e-3,
     lam0: float = 1e-4,
     landmarks_only: bool = False,
+    gauge: str = "oldest",
 ):
     """Run window BA and write the results back.
 
@@ -113,17 +114,24 @@ def refine_window(
     driver can re-anchor the live pose.
     """
     problem, order = gather_problem(win, tracks, K_mat)
-    # gauge anchor: freeze the oldest n_fix REAL keyframes. Before the ring
-    # fills (and right after a re-bootstrap reset) the chronological order
-    # leads with EMPTY slots — freezing those instead of real poses leaves the
-    # window's gauge (incl. monocular scale) floating on LM damping alone,
-    # which injects scale drift every refine (ba_solve docstring). With ≤ n_fix
-    # real keyframes this freezes them ALL: landmark-only refinement.
+    # gauge anchor: freeze n_fix REAL keyframes. Before the ring fills (and
+    # right after a re-bootstrap reset) the chronological order leads with
+    # EMPTY slots — freezing those instead of real poses leaves the window's
+    # gauge (incl. monocular scale) floating on LM damping alone, which injects
+    # scale drift every refine (ba_solve docstring). With ≤ n_fix real
+    # keyframes this freezes them ALL: landmark-only refinement.
+    #
+    # gauge='oldest' (classic) vs 'newest' (backward smoothing: the live pose
+    # never jumps and the window adopts the CURRENT scale instead of dragging
+    # the newest pose toward the oldest keyframe's scale — see BAConfig.gauge).
     kfv = win.kf_valid[order]
     if landmarks_only:
         # structure-only refinement: ALL real keyframe poses frozen — multi-view
         # depth correction without pose feedback (no gauge motion possible)
         fix_rows = jnp.ones_like(kfv)
+    elif gauge == "newest":
+        rev_rank = jnp.cumsum(kfv[::-1])[::-1]  # 1 = newest real keyframe
+        fix_rows = kfv & (rev_rank <= n_fix)
     else:
         fix_rows = kfv & (jnp.cumsum(kfv) <= n_fix)
     res = ba_solve(problem, iters=iters, n_fix=n_fix, huber=huber, lam0=lam0,

@@ -263,3 +263,54 @@ def test_partial_window_gauge_is_anchored():
     # exact observations + anchored gauge: nothing should move materially
     assert float(np.max(np.abs(np.asarray(tracks2.X) - X_gt))) < 0.05
     assert float(np.linalg.norm(np.asarray(t2) - t_last)) < 0.02
+
+
+def test_refine_window_gauge_newest_freezes_live_pose():
+    """gauge='newest' (round 5): the newest keyframe pose must come back
+    IDENTICAL (no live-pose jump — the write-back can never fight PnP), while
+    older poses are free to move; the refined window still reduces cost."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lcvo_tpu.core import geometry as geo
+    from lcvo_tpu.core import state as st
+    from lcvo_tpu.solve.ba import window as win_mod
+
+    rng = np.random.default_rng(3)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 160], [0, 0, 1]])
+    Kj = jnp.asarray(K, jnp.float32)
+    cap, W = 96, 6
+    X_gt = rng.uniform([-4, -2, 6], [4, 2, 14], (cap, 3)).astype(np.float32)
+    tracks = st.make_track_table(cap)._replace(X=jnp.asarray(X_gt),
+                                               valid=jnp.ones(cap, bool))
+    win = win_mod.make_window(W, cap)
+    poses = []
+    for w in range(W):
+        Rw = np.eye(3, dtype=np.float32)
+        tw = np.array([-0.4 * w, 0, 0], np.float32)
+        # perturb the OLDER poses (not the newest two): BA should fix them
+        if w < W - 2:
+            tw = tw + rng.normal(0, 0.05, 3).astype(np.float32)
+        uv, z = geo.project(Kj, jnp.asarray(Rw), jnp.asarray(tw), jnp.asarray(X_gt))
+        poses.append((Rw, tw))
+        win = win_mod.push(win, tracks._replace(P=uv), jnp.asarray(Rw), jnp.asarray(tw))
+    # exact observations come from the TRUE (unperturbed) poses
+    win_exact = win_mod.make_window(W, cap)
+    for w in range(W):
+        Rw = np.eye(3, dtype=np.float32)
+        tw_true = np.array([-0.4 * w, 0, 0], np.float32)
+        uv, _ = geo.project(Kj, jnp.asarray(Rw), jnp.asarray(tw_true), jnp.asarray(X_gt))
+        win_exact = win_mod.push(win_exact, tracks._replace(P=uv),
+                                 jnp.asarray(poses[w][0]), jnp.asarray(poses[w][1]))
+    win2, tracks2, R_l, t_l, res = win_mod.refine_window(
+        win_exact, tracks, Kj, iters=6, n_fix=2, gauge="newest")
+    # the newest pose is frozen bit-exactly
+    np.testing.assert_array_equal(np.asarray(R_l), poses[-1][0])
+    np.testing.assert_array_equal(np.asarray(t_l), poses[-1][1])
+    assert float(res.cost) < float(res.cost0) * 0.2
+    # an older perturbed pose moved toward truth
+    order = np.asarray(win_mod._chronological_order(win2))
+    t_old_refined = np.asarray(win2.t)[order][0]
+    err_before = np.linalg.norm(poses[0][1] - np.array([0, 0, 0]))
+    err_after = np.linalg.norm(t_old_refined - np.array([0, 0, 0]))
+    assert err_after < err_before
