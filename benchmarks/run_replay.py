@@ -123,7 +123,7 @@ def steady_fps(metrics_path):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=2760)
-    ap.add_argument("--round", type=int, default=4)
+    ap.add_argument("--round", type=int, default=5)
     ap.add_argument("--dataset", default="kitti", choices=("kitti", "malaga", "parking"))
     ap.add_argument("--data-root", default=None,
                     help="data_root holding the dataset folder (default: <repo>/datasets)")

@@ -140,6 +140,13 @@ def refine_window(
     adjusted = jnp.sum(problem.mask, axis=0) >= 2  # (K,)
     X_new = jnp.where(adjusted[:, None], res.X, tracks.X)
     tracks = tracks._replace(X=X_new)
+    if tracks.ang is not None:
+        # a multi-view-refined landmark outranks 2-view anchor re-triangulation:
+        # retire the anchor (ang=π disables further refinement for the slot) so
+        # the pipeline's anchor pass can't overwrite BA's estimate (round 5)
+        tracks = tracks._replace(
+            ang=jnp.where(adjusted, jnp.float32(jnp.pi), tracks.ang)
+        )
 
     win = win._replace(R=win.R.at[order].set(res.R), t=win.t.at[order].set(res.t))
     newest = order[-1]
