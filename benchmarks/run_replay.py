@@ -41,11 +41,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _cli_args(out, frames, dataset="kitti", data_root=None, mode="sift-sift",
-              ba=True, extra=()):
+              ba=True, config=None, extra=()):
     return [
         sys.executable, "-u", "-m", "lcvo_tpu.cli.run",
         "--dataset", dataset, "--data-root", data_root or os.path.join(REPO, "datasets"),
         "--mode", mode, *(("--ba",) if ba else ()), "--chunked",
+        *(("--config", config) if config else ()),
         "--frames", str(frames),
         "--checkpoint-every", "512",
         "--out", out,
@@ -128,6 +129,9 @@ def main():
     ap.add_argument("--data-root", default=None,
                     help="data_root holding the dataset folder (default: <repo>/datasets)")
     ap.add_argument("--mode", default="sift-sift")
+    ap.add_argument("--config", default=None,
+                    help="YAML preset passed through to the CLI (e.g. "
+                         "configs/turn_robust.yaml); --mode/--ba flags override it")
     ap.add_argument("--no-ba", action="store_true", help="disable sliding-window BA "
                     "(BASELINE config 1: KLT + P3P only — the parking preset)")
     ap.add_argument("--tag", default=None,
@@ -155,7 +159,8 @@ def main():
 
     def cli(out, extra=()):
         return _cli_args(out, args.frames, dataset=args.dataset,
-                         data_root=args.data_root, mode=args.mode, ba=ba, extra=extra)
+                         data_root=args.data_root, mode=args.mode, ba=ba,
+                         config=args.config, extra=extra)
 
     # --- run A: uninterrupted full replay, RSS-sampled ---
     rc, peak_a, wall_a, lines = run_sampled(cli(out_a))
@@ -167,7 +172,9 @@ def main():
     report = {
         "metric": f"full_scale_replay_{tag}",
         "frames": args.frames,
-        "mode": f"{args.mode}{'+ba' if ba else ''}, chunked streaming, checkpoint-every 512",
+        "mode": f"{args.mode}{'+ba' if ba else ''}"
+                + (f" [{os.path.basename(args.config)}]" if args.config else "")
+                + ", chunked streaming, checkpoint-every 512",
         "dataset": args.dataset,
         "data_root": args.data_root,
         "wall_s": round(wall_a, 1),

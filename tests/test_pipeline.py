@@ -192,3 +192,26 @@ def test_run_short_stream_raises(seq):
     vo2 = VisualOdometry(cfg, seq.K)
     with pytest.raises(ValueError, match="frame_gap"):
         vo2.run_chunked((seq.frame(i) for i in range(3)), chunk=4, n_frames=3)
+
+
+def test_full_run_turn_robust_config(seq):
+    """The round-5 turn-robust operating point (configs/turn_robust.yaml:
+    anchor re-triangulation + full window BA at the NEWEST gauge) must run the
+    full driver loop and stay accurate — the configuration of the flagship
+    turn replay (BASELINE.md round 5)."""
+    cfg = small_cfg(
+        ba={"enabled": True, "window": 6, "keyframe_every": 3, "gn_iters": 4,
+            "gauge": "newest"},
+        triangulation={"track_refine": True},
+    )
+    vo = VisualOdometry(cfg, seq.K)
+    vo.run(seq.frames(), n_frames=60)
+    est = np.asarray(vo.trajectory)
+    assert len(est) >= 50
+    gt = seq.gt_positions()[cfg.bootstrap.frame_gap : cfg.bootstrap.frame_gap + len(est)]
+    err = ate_rmse(est, gt)
+    assert err < 0.5, f"turn-robust ATE {err:.3f} m too large"
+    assert bool(np.asarray(vo.window.kf_valid).any())
+    # anchors were retired for BA-adjusted slots (cooperation contract)
+    ang = np.asarray(vo.state.tracks.ang)
+    assert np.any(np.isclose(ang, np.pi))
