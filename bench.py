@@ -291,10 +291,14 @@ def main():
 # ---------------------------------------------------------------------------
 
 _CPU_GOLDEN_SCRIPT = r"""
+import os
 import sys
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")  # sitecustomize pins axon; env var is ignored
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.getcwd(), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import jax.numpy as jnp
 
 inp = np.load(sys.argv[1])

@@ -10,9 +10,18 @@ Usage: python multiprocess_worker.py <process_id> <num_processes> <port>
 
 import sys
 
+import os
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# share the repo's persistent compile cache (see tests/conftest.py): the
+# sharded-BA compile dominates this worker's wall time on repeat runs
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np
 
