@@ -27,6 +27,10 @@ _DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stop", type=int, default=700)
+    ap.add_argument("--config", default=None, help="YAML preset (e.g. configs/turn_robust.yaml)")
+    ap.add_argument("--focus", type=int, nargs=2, default=(540, 640),
+                    help="frame range printed densely (every frame)")
+    ap.add_argument("--out-tag", default="")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +45,8 @@ def main():
     from lcvo_tpu.pipeline import VisualOdometry
 
     ds = load_dataset("kitti", os.path.join(_DIR, "datasets", "turn"))
-    cfg = load_config(overrides={"image_width": 1240, "image_height": 376,
+    cfg = load_config(args.config,
+                      overrides={"image_width": 1240, "image_height": 376,
                                  "find_new_candidates_method": "sift-sift"})
     vo = VisualOdometry(cfg, ds.K)
 
@@ -68,14 +73,14 @@ def main():
     d_gt = np.linalg.norm(np.diff(gt[: len(est)], axis=0), axis=1)
     for r, sr in zip(rows[1:], d_est / np.maximum(d_gt, 1e-9)):
         r["step_ratio"] = round(float(sr), 3)
-    out = os.path.join(_DIR, "runs", "diag_turn_window.jsonl")
+    out = os.path.join(_DIR, "runs", f"diag_turn_window{args.out_tag}.jsonl")
     with open(out, "w") as fh:
         for r in rows:
             fh.write(json.dumps(r) + "\n")
-    # compact print: every 10th frame from 500, all frames 540-640
+    lo, hi = args.focus
     for r in rows:
         f = r["i"]
-        if (f >= 500 and f % 10 == 0) or (540 <= f <= 640):
+        if f % 10 == 0 or (lo <= f <= hi):
             print(json.dumps(r))
 
 
