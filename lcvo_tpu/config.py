@@ -84,11 +84,32 @@ class KLTConfig:
     #                                neutral at full scale — the wider wander
     #                                admits ambiguous-texture matches into the
     #                                bootstrap map. 6 is the validated point.
-    track_margin: int = 4          # wander margin for the in-pipeline tracker, where
+    track_margin: int = 6          # wander margin for the in-pipeline tracker, where
     #                                the constant-velocity warm start (process_frame)
     #                                absorbs the bulk displacement — the margin only
-    #                                covers prediction error, so the extracted block
-    #                                (dominant KLT HBM stream) shrinks
+    #                                covers prediction error. Round 5 raised the
+    #                                default 4 -> 6: at a turn ENTRY/EXIT the
+    #                                velocity model mispredicts by one frame's
+    #                                yaw step (25-43 px at KITTI focal), and at
+    #                                margin 4 that wiped ~85% of the track table
+    #                                in one frame (the event that seeded every
+    #                                turn-replay scale collapse). LK's per-level
+    #                                convergence basin makes the FINE margins the
+    #                                binding reach constraint (CPU probe:
+    #                                wrong-prior survival 0.44 at (4,4,8) vs
+    #                                0.83 at (6,6,8)); r4 priced m6 at -0.7% fps.
+    track_margin_coarse: int = 8   # wander margin at the COARSEST tracked level
+    #                                (0 = same as track_margin). Correction reach
+    #                                is ~margin·2^level full-res px, so the
+    #                                coarsest level buys reach cheapest. 8 at
+    #                                level 2 -> ~44 px total reach: covers the
+    #                                constant-velocity model's worst transient
+    #                                (turn entry/exit, yaw stepping 0↔2°/frame =
+    #                                25-43 px prediction error at KITTI focal) —
+    #                                without it the turn-exit frame kills ~85% of
+    #                                the track table in one step and reseeds the
+    #                                scale-decay spiral (round-5 microscope,
+    #                                BASELINE.md)
     track_levels: int = 0          # pyramid levels used by the IN-PIPELINE tracker
     #                                (0 = all `levels`). With the constant-velocity
     #                                warm start the coarse levels only correct the

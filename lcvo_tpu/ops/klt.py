@@ -237,8 +237,17 @@ def pyramidal_klt(
     ``iters_coarse`` (0 = ``iters``): iteration count for levels > 0. A coarse
     level's only job is to land the displacement within the next level's wander
     margin; fewer coarse iterations shorten the latency-chained per-level loops.
+
+    ``margin`` may be a per-level tuple (index = pyramid level, 0 = finest).
+    Total correction reach ≈ Σ_l margin[l]·2^l full-res px, so widening ONLY the
+    coarsest level buys reach at the smallest block-area cost — needed where a
+    motion prior can be transiently wrong by tens of px (the constant-velocity
+    model at a turn entry/exit: yaw steps 0↔2°/frame between frames, a 25-43 px
+    prediction error that must not kill the track table — BASELINE.md round 5).
     """
     levels = len(prev_pyramid)
+    margins = (margin,) * levels if isinstance(margin, int) else tuple(margin)
+    assert len(margins) == levels, (margins, levels)
     N = pts.shape[0]
     idt = jnp.dtype(iter_dtype)
     if init_d is None:
@@ -254,7 +263,7 @@ def pyramidal_klt(
         d, det_ok, sat, residual = _track_level(
             prev_pyramid[l], next_pyramid[l], pts_l, d, window,
             iters if (l == 0 or not iters_coarse) else iters_coarse, eps,
-            iter_dtype=idt, margin=margin,
+            iter_dtype=idt, margin=margins[l],
         )
         ok = ok & det_ok
         if l == 0:

@@ -107,8 +107,15 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
         pts = jnp.concatenate([state.tracks.P, state.cands.C], axis=0)
         # the warm start absorbs bulk flow, so the in-pipeline tracker can run
         # on fewer (finer) levels / fewer coarse iterations than the zero-start
-        # bootstrap hops (klt.track_levels / klt.iters_coarse)
+        # bootstrap hops (klt.track_levels / klt.iters_coarse); the coarsest
+        # level gets a wider wander margin so a transiently-wrong velocity
+        # prior (turn entry/exit) stays within correction reach
         n_lvl = kltc.track_levels or kltc.levels
+        mc = kltc.track_margin_coarse or kltc.track_margin
+        margins = tuple(
+            mc if l == n_lvl - 1 and n_lvl > 1 else kltc.track_margin
+            for l in range(n_lvl)
+        )
         new_pts, klt_ok, _ = pyramidal_klt(
             state.prev_pyramid[:n_lvl],
             pyr_new[:n_lvl],
@@ -120,7 +127,7 @@ def make_process_frame(cfg: VOConfig, K: np.ndarray):
             border=kltc.border,
             eps=kltc.eps,
             iter_dtype=kltc.iter_dtype,
-            margin=kltc.track_margin,
+            margin=margins,
             init_d=init_d,
             iters_coarse=kltc.iters_coarse,
         )

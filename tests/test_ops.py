@@ -136,3 +136,35 @@ def test_klt_init_d_extends_reach(rng):
     assert ok.mean() > 0.8, f"warm start survival {ok.mean():.2f}"
     err = np.asarray(new_pts)[ok] - (np.asarray(pts)[ok] + np.asarray(shift))
     assert np.percentile(np.abs(err), 90) < 0.3
+
+
+def test_klt_coarse_margin_survives_wrong_prior(rng):
+    """Per-level margins (round 5): a transiently WRONG motion prior (the
+    constant-velocity model at a turn entry/exit mispredicts by one frame's yaw
+    step, 25-43 px at KITTI focal) must stay within correction REACH — the
+    per-level clamp Σ margin[l]·2^l — once the margins are widened. Wide-basin
+    targets (Gaussian blobs: gradient pull everywhere) isolate the clamp from
+    texture-basin effects; the production evidence is the turn-exit microscope
+    (track-table survival 15 → 93 inliers at the cliff, BASELINE.md round 5)."""
+    H, W = 192, 256
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = np.zeros((H, W), np.float32)
+    rngl = np.random.default_rng(5)
+    centers = rngl.uniform([60, 60], [190, 130], size=(12, 2)).astype(np.float32)
+    for cx, cy in centers:
+        img += 200.0 * np.exp(-(((xx - cx) / 20.0) ** 2 + ((yy - cy) / 20.0) ** 2))
+    pyr0 = pyramid.build_pyramid(jnp.asarray(img), 3)
+    pts = jnp.asarray(centers)
+    # true motion is zero; the prior claims 38 px (turn-exit scenario)
+    prior = jnp.tile(jnp.asarray([[38.0, 0.0]], jnp.float32), (len(centers), 1))
+
+    def correct(margin):
+        npts, st, _ = klt.pyramidal_klt(pyr0, pyr0, pts, window=15, iters=8,
+                                        margin=margin, init_d=prior)
+        e = np.linalg.norm(np.asarray(npts) - np.asarray(pts), axis=1)
+        return float((np.asarray(st) & (e < 1.0)).mean())
+
+    # reach 28 px < 38 px error: the clamp pins tracks short of truth
+    assert correct((4, 4, 4)) < 0.3
+    # production margins (6,6,8): reach ~44 px covers the transient
+    assert correct((6, 6, 8)) > 0.7
