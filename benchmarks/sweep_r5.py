@@ -39,25 +39,26 @@ def main():
     W, H = 1240, 376
     frames, seq = bench._frames(128, W, H)
     grid = [
-        # (track_levels, iters_coarse, track_refine)
-        (0, 0, False),   # round-4 defaults (control)
-        (0, 0, True),    # + anchor refinement (price it)
-        (0, 3, True),    # 3-level, 3 coarse iters
-        (0, 2, True),
-        (2, 0, True),    # 2-level tracker
-        (2, 3, True),
-        (2, 2, True),
+        # (track_levels, iters_coarse, track_refine, track_margin)
+        (0, 0, False, 4),   # round-4 defaults (control: r4 margins)
+        (0, 0, False, 6),   # round-5 margins alone (the turn-exit fix)
+        (0, 0, True, 6),    # + anchor refinement (price it)
+        (0, 3, True, 6),    # 3-level, 3 coarse iters
+        (0, 2, True, 6),
+        (2, 0, True, 6),    # 2-level tracker
+        (2, 3, True, 6),
     ]
-    for tl, ic, tr in grid:
+    for tl, ic, tr, m in grid:
         cfg = load_config(overrides={
             "image_width": W, "image_height": H,
             "find_new_candidates_method": "sift-sift",
-            "klt": {"track_levels": tl, "iters_coarse": ic},
+            "klt": {"track_levels": tl, "iters_coarse": ic, "track_margin": m},
             "triangulation": {"track_refine": tr},
         })
         fps = bench._measure_mode(cfg, frames, seq.K)
         print(json.dumps({"track_levels": tl, "iters_coarse": ic,
-                          "track_refine": tr, "fps": round(fps, 2)}), flush=True)
+                          "track_refine": tr, "track_margin": m,
+                          "fps": round(fps, 2)}), flush=True)
 
 
 if __name__ == "__main__":

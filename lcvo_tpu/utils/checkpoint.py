@@ -46,7 +46,20 @@ def save_checkpoint(path: str, state, window=None, trajectory=None, frame_idx: i
         payload["frame_idx_host"] = np.asarray(frame_idx)
     if rng_key is not None:
         payload["rng_key"] = np.asarray(rng_key)
-    np.savez_compressed(path, **payload)
+    # ATOMIC write: a SIGKILL mid-write must never leave a truncated archive at
+    # the checkpoint path (measured: the round-5 kill-resume rehearsal landed a
+    # SIGKILL during np.savez and the resume died on BadZipFile). Write to a
+    # temp file in the same directory, fsync, then rename — os.replace is
+    # atomic on POSIX, so the path always holds either the old or the new
+    # complete checkpoint.
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(fh, **payload)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, state_template, window_template=None):
