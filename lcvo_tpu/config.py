@@ -190,7 +190,7 @@ class TriangulationConfig:
     #                                through 90° corners without this gate).
     #                                30 ≈ a 1.9° effective parallax floor; 0
     #                                disables.
-    track_refine: bool = False     # continuous anchor re-triangulation: each
+    track_refine: bool = True      # continuous anchor re-triangulation: each
     #                                landmark keeps its first observation (pixel
     #                                + frozen promotion-time pose) and is
     #                                re-triangulated inside the compiled step
@@ -228,7 +228,7 @@ class BAConfig:
     #                                zero pose feedback / gauge motion — the
     #                                round-4 probe of why full window BA trails
     #                                no-BA through turns (see BASELINE.md r4)
-    gauge: str = "oldest"          # which real keyframes anchor the window's
+    gauge: str = "newest"          # which real keyframes anchor the window's
     #                                7-DoF gauge (incl. monocular scale):
     #                                'oldest' — classic sliding-window anchor;
     #                                through scale-drifting turns it drags the
@@ -239,7 +239,12 @@ class BAConfig:
     #                                n_fix keyframes instead: the live pose
     #                                never jumps; BA smooths the PAST and makes
     #                                structure consistent with the current
-    #                                pose (backward smoothing).
+    #                                pose (backward smoothing). Default since
+    #                                round 5: WITH track_refine, the 311-frame
+    #                                turn band is 0.29/0.29/0.36 m vs
+    #                                0.69/1.02/0.70 no-BA (newest gauge alone —
+    #                                without anchors pinning scale — is
+    #                                unstable; see BASELINE.md round-5 table).
     window: int = 10               # keyframes in the window
     #   (landmark capacity inside the window is state.max_tracks — the window
     #    refines the live track table in place, solve/ba/window.py)
