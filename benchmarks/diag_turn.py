@@ -94,6 +94,16 @@ def main():
         "tr_ba": dict(mode="sift-sift", ba=True, occ=True, tr=True),
         "tr_ba_seed1": dict(mode="sift-sift", ba=True, occ=True, tr=True, seed=1),
         "tr_ba_seed2": dict(mode="sift-sift", ba=True, occ=True, tr=True, seed=2),
+        # round-5 KLT schedule candidates (fps: sweep_r5.py)
+        "ic2": dict(mode="sift-sift", ba=False, occ=True, sched=(0, 2)),
+        "ic2_seed1": dict(mode="sift-sift", ba=False, occ=True, sched=(0, 2), seed=1),
+        "ic2_seed2": dict(mode="sift-sift", ba=False, occ=True, sched=(0, 2), seed=2),
+        "tl2": dict(mode="sift-sift", ba=False, occ=True, sched=(2, 0)),
+        "tl2_seed1": dict(mode="sift-sift", ba=False, occ=True, sched=(2, 0), seed=1),
+        "tl2_seed2": dict(mode="sift-sift", ba=False, occ=True, sched=(2, 0), seed=2),
+        "tl2ic3": dict(mode="sift-sift", ba=False, occ=True, sched=(2, 3)),
+        "tl2ic3_seed1": dict(mode="sift-sift", ba=False, occ=True, sched=(2, 3), seed=1),
+        "tl2ic3_seed2": dict(mode="sift-sift", ba=False, occ=True, sched=(2, 3), seed=2),
         # round-5: newest-anchored gauge (backward smoothing — live pose frozen)
         "ba_new": dict(mode="sift-sift", ba=True, occ=True, gauge="newest"),
         "ba_new_seed1": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", seed=1),
@@ -120,6 +130,9 @@ def main():
             ov.setdefault("triangulation", {})["max_reproj_px"] = v["reproj"]
         if v.get("tr"):
             ov.setdefault("triangulation", {})["track_refine"] = True
+        if "sched" in v:
+            tl, ic = v["sched"]
+            ov["klt"] = {"track_levels": tl, "iters_coarse": ic}
         cfg = load_config(overrides=ov)
         vo = VisualOdometry(cfg, seq.K)
         if v.get("perframe"):
