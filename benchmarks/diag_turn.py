@@ -104,6 +104,15 @@ def main():
         "tl2ic3": dict(mode="sift-sift", ba=False, occ=True, sched=(2, 3)),
         "tl2ic3_seed1": dict(mode="sift-sift", ba=False, occ=True, sched=(2, 3), seed=1),
         "tl2ic3_seed2": dict(mode="sift-sift", ba=False, occ=True, sched=(2, 3), seed=2),
+        "ic3": dict(mode="sift-sift", ba=False, occ=True, sched=(0, 3)),
+        "ic3_seed1": dict(mode="sift-sift", ba=False, occ=True, sched=(0, 3), seed=1),
+        "ic3_seed2": dict(mode="sift-sift", ba=False, occ=True, sched=(0, 3), seed=2),
+        "trba_ic3": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", sched=(0, 3)),
+        "trba_ic3_seed1": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", sched=(0, 3), seed=1),
+        "trba_ic3_seed2": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", sched=(0, 3), seed=2),
+        "trba_ic2": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", sched=(0, 2)),
+        "trba_ic2_seed1": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", sched=(0, 2), seed=1),
+        "trba_ic2_seed2": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", sched=(0, 2), seed=2),
         # round-5: newest-anchored gauge (backward smoothing — live pose frozen)
         "ba_new": dict(mode="sift-sift", ba=True, occ=True, gauge="newest"),
         "ba_new_seed1": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", seed=1),

@@ -118,12 +118,22 @@ class KLTConfig:
     #                                latency-chained hot path (VERDICT r4 #3).
     #                                Bootstrap hops (zero-start) always use all
     #                                `levels` for full displacement reach.
-    iters_coarse: int = 0          # LK iterations at levels > 0 (0 = same as
+    iters_coarse: int = 2          # LK iterations at levels > 0 (0 = same as
     #                                `iters`). A coarse level only needs to land
     #                                the displacement within the next level's
     #                                wander margin, not converge — fewer coarse
     #                                iterations cut the latency-bound per-level
-    #                                loops (the r4 trace: 3 x 1.09 ms at 70 GB/s)
+    #                                loops (the r4 trace: 3 x 1.09 ms at 70 GB/s).
+    #                                Default 2 since round 5: sift-sift 119 ->
+    #                                142.9 fps with the 3-seed turn band at
+    #                                1.27/0.97/0.22 m — inside the round-4
+    #                                1.28/1.81/1.88 envelope (the VERDICT r4 #3
+    #                                acceptance bar). The quality-flagship
+    #                                preset (configs/turn_robust.yaml) pins 0
+    #                                (full coarse convergence: its band is
+    #                                0.29/0.29/0.36). track_levels=2 was
+    #                                REJECTED decisively (correction reach 22 px
+    #                                < turn transients; pose_ok 66-80%).
     iter_dtype: str = "float32"    # storage dtype of the LK iteration loop's
     #                                re-read tensors (blocks/template/gradients).
     #                                'bfloat16' halves the tracker's dominant HBM
