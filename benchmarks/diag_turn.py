@@ -110,6 +110,13 @@ def main():
         "trba_ic3": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", sched=(0, 3)),
         "trba_ic3_seed1": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", sched=(0, 3), seed=1),
         "trba_ic3_seed2": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", sched=(0, 3), seed=2),
+        # round-5 drift fix: refine_min_improve 1.15 (probe_drift.py)
+        "imp115": dict(mode="sift-sift", ba=False, occ=True, imp=1.15),
+        "imp115_seed1": dict(mode="sift-sift", ba=False, occ=True, imp=1.15, seed=1),
+        "imp115_seed2": dict(mode="sift-sift", ba=False, occ=True, imp=1.15, seed=2),
+        "trba_imp115": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", imp=1.15, sched=(0, 0)),
+        "trba_imp115_seed1": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", imp=1.15, sched=(0, 0), seed=1),
+        "trba_imp115_seed2": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", imp=1.15, sched=(0, 0), seed=2),
         "trba_ic2": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", sched=(0, 2)),
         "trba_ic2_seed1": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", sched=(0, 2), seed=1),
         "trba_ic2_seed2": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", sched=(0, 2), seed=2),
@@ -142,6 +149,8 @@ def main():
         if "sched" in v:
             tl, ic = v["sched"]
             ov["klt"] = {"track_levels": tl, "iters_coarse": ic}
+        if "imp" in v:
+            ov.setdefault("triangulation", {})["refine_min_improve"] = v["imp"]
         cfg = load_config(overrides=ov)
         vo = VisualOdometry(cfg, seq.K)
         if v.get("perframe"):

@@ -46,6 +46,9 @@ def main():
         "ratio20": {"triangulation": {"max_depth_baseline_ratio": 20.0}},
         "ratio15": {"triangulation": {"max_depth_baseline_ratio": 15.0}},
         "imp115": {"triangulation": {"refine_min_improve": 1.15}},
+        "imp105": {"triangulation": {"refine_min_improve": 1.05}},
+        "imp110": {"triangulation": {"refine_min_improve": 1.10}},
+        "imp115_alpha2": {"triangulation": {"refine_min_improve": 1.15, "alpha_deg": 2.0}},
         "imp15": {"triangulation": {"refine_min_improve": 1.5}},
         "kf3": {"ba": {"keyframe_every": 3}},
     }
