@@ -110,6 +110,16 @@ def main():
         "trba_ic3": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", sched=(0, 3)),
         "trba_ic3_seed1": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", sched=(0, 3), seed=1),
         "trba_ic3_seed2": dict(mode="sift-sift", ba=True, occ=True, gauge="newest", sched=(0, 3), seed=2),
+        # round-5 drift root cause: KLT convergence-eps deadband (probe_drift.py)
+        "eps3": dict(mode="sift-sift", ba=False, occ=True, eps=0.003),
+        "eps3_seed1": dict(mode="sift-sift", ba=False, occ=True, eps=0.003, seed=1),
+        "eps3_seed2": dict(mode="sift-sift", ba=False, occ=True, eps=0.003, seed=2),
+        "trba_eps3": dict(mode="sift-sift", ba=True, occ=True, gauge="newest",
+                          eps=0.003, imp=1.3, sched=(0, 0)),
+        "trba_eps3_seed1": dict(mode="sift-sift", ba=True, occ=True, gauge="newest",
+                                eps=0.003, imp=1.3, sched=(0, 0), seed=1),
+        "trba_eps3_seed2": dict(mode="sift-sift", ba=True, occ=True, gauge="newest",
+                                eps=0.003, imp=1.3, sched=(0, 0), seed=2),
         # round-5 drift fix: refine_min_improve 1.15 (probe_drift.py)
         "imp115": dict(mode="sift-sift", ba=False, occ=True, imp=1.15),
         "imp115_seed1": dict(mode="sift-sift", ba=False, occ=True, imp=1.15, seed=1),
@@ -151,6 +161,10 @@ def main():
             ov["klt"] = {"track_levels": tl, "iters_coarse": ic}
         if "imp" in v:
             ov.setdefault("triangulation", {})["refine_min_improve"] = v["imp"]
+        if "eps" in v:
+            ov.setdefault("klt", {})["eps"] = v["eps"]
+        if "kf" in v:
+            ov.setdefault("ba", {})["keyframe_every"] = v["kf"]
         cfg = load_config(overrides=ov)
         vo = VisualOdometry(cfg, seq.K)
         if v.get("perframe"):

@@ -51,6 +51,12 @@ def main():
         "imp115_alpha2": {"triangulation": {"refine_min_improve": 1.15, "alpha_deg": 2.0}},
         "imp15": {"triangulation": {"refine_min_improve": 1.5}},
         "kf3": {"ba": {"keyframe_every": 3}},
+        "win21": {"klt": {"window": 21, "iters": 8}},
+        "win11": {"klt": {"window": 11}},
+        "eps3": {"klt": {"eps": 0.003}},
+        "eps1": {"klt": {"eps": 0.001}},
+        "eps0": {"klt": {"eps": 0.0}},
+        "eps3_kf3": {"klt": {"eps": 0.003}, "ba": {"keyframe_every": 3}},
     }
     frames = [ds.frame(i) for i in range(args.frames)]
     for name in args.variants:
