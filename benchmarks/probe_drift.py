@@ -57,6 +57,8 @@ def main():
         "eps1": {"klt": {"eps": 0.001}},
         "eps0": {"klt": {"eps": 0.0}},
         "eps3_kf3": {"klt": {"eps": 0.003}, "ba": {"keyframe_every": 3}},
+        "maxd40": {"triangulation": {"max_depth": 40.0}},
+        "maxd25": {"triangulation": {"max_depth": 25.0}},
     }
     frames = [ds.frame(i) for i in range(args.frames)]
     for name in args.variants:
