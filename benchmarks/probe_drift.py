@@ -59,6 +59,8 @@ def main():
         "eps3_kf3": {"klt": {"eps": 0.003}, "ba": {"keyframe_every": 3}},
         "maxd40": {"triangulation": {"max_depth": 40.0}},
         "maxd25": {"triangulation": {"max_depth": 25.0}},
+        "mind3": {"triangulation": {"min_depth": 3.0}},
+        "alpha15": {"triangulation": {"alpha_deg": 1.5}},
     }
     frames = [ds.frame(i) for i in range(args.frames)]
     for name in args.variants:
